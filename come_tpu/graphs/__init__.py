@@ -1,0 +1,20 @@
+from come_tpu.graphs.csr import CSRGraph, DeviceCSR
+from come_tpu.graphs.loaders import (
+    load_adjacencylist,
+    load_edgelist,
+    load_matfile,
+)
+from come_tpu.graphs.generators import sbm_graph, powerlaw_graph
+from come_tpu.graphs.datasets import get_dataset, DATASETS
+
+__all__ = [
+    "CSRGraph",
+    "DeviceCSR",
+    "load_adjacencylist",
+    "load_edgelist",
+    "load_matfile",
+    "sbm_graph",
+    "powerlaw_graph",
+    "get_dataset",
+    "DATASETS",
+]

@@ -1,0 +1,22 @@
+"""Test harness config: force an 8-virtual-device CPU mesh before jax import.
+
+Multi-chip sharding semantics are tested without TPU hardware via
+``--xla_force_host_platform_device_count`` (SURVEY.md §4 test-strategy gap).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

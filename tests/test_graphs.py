@@ -1,0 +1,100 @@
+"""Graph layer tests: CSR container, loaders, generators, registry."""
+
+import numpy as np
+import pytest
+
+from come_tpu.graphs import (
+    CSRGraph,
+    get_dataset,
+    load_adjacencylist,
+    load_edgelist,
+    powerlaw_graph,
+    sbm_graph,
+)
+
+
+def test_from_arcs_symmetrize_dedup():
+    g = CSRGraph.from_arcs([0, 1, 1, 2], [1, 0, 2, 2], num_nodes=3)
+    # edges {0-1, 1-2}; self-loop 2-2 removed; duplicates collapsed
+    assert g.num_nodes == 3
+    assert g.num_edges == 2
+    assert list(g.neighbors(1)) == [0, 2]
+    np.testing.assert_array_equal(g.degrees, [1, 2, 1])
+
+
+def test_arcs_and_edges_roundtrip():
+    g = CSRGraph.from_arcs([0, 2, 3], [1, 1, 0], num_nodes=4)
+    src, dst = g.edges_undirected()
+    edges = set(zip(src.tolist(), dst.tolist()))
+    assert edges == {(0, 1), (1, 2), (0, 3)}
+    s2, d2 = g.arcs()
+    assert len(s2) == 2 * len(src)
+
+
+def test_subgraph_relabels():
+    g = CSRGraph.from_arcs([0, 1, 2], [1, 2, 3], num_nodes=4)
+    sub = g.subgraph([1, 2, 3])
+    assert sub.num_nodes == 3
+    assert sub.num_edges == 2  # 1-2, 2-3 -> 0-1, 1-2
+
+
+def test_adjlist_loader(tmp_path):
+    p = tmp_path / "g.adjlist"
+    p.write_text("0 1 2\n1 0\n2 0\n3 0\n")
+    g = load_adjacencylist(p)
+    assert g.num_nodes == 4
+    assert g.num_edges == 3
+    assert g.degrees[0] == 3
+
+
+def test_edgelist_loader_string_labels(tmp_path):
+    p = tmp_path / "g.edges"
+    p.write_text("a b\nb c\n# comment\nc a\n")
+    g = load_edgelist(p)
+    assert g.num_nodes == 3
+    assert g.num_edges == 3
+    assert list(g.node_names) == ["a", "b", "c"]
+
+
+def test_karate_dataset():
+    ds = get_dataset("karate")
+    assert ds.graph.num_nodes == 34
+    assert ds.graph.num_edges == 78
+    assert ds.labels is not None and len(ds.labels) == 34
+    assert ds.num_communities == 2
+    # node 0 (Mr. Hi) and node 33 (Officer) are in different clubs
+    assert ds.labels[0] != ds.labels[33]
+
+
+def test_sbm_generator():
+    g, labels = sbm_graph(200, 4, p_in=0.2, p_out=0.01, seed=1)
+    assert g.num_nodes == 200
+    assert len(labels) == 200
+    assert set(labels.tolist()) == {0, 1, 2, 3}
+    # intra-community edges should dominate
+    src, dst = g.edges_undirected()
+    intra = np.mean(labels[src] == labels[dst])
+    assert intra > 0.7
+
+
+def test_powerlaw_generator():
+    g = powerlaw_graph(1000, avg_degree=10.0, seed=2)
+    assert g.num_nodes == 1000
+    assert g.num_edges > 1000
+    degs = np.sort(g.degrees)[::-1]
+    assert degs[0] > 5 * np.median(degs[degs > 0])  # skewed
+
+
+def test_device_csr_pytree():
+    import jax
+
+    g = CSRGraph.from_arcs([0, 1], [1, 2], num_nodes=3).to_device()
+    leaves = jax.tree_util.tree_leaves(g)
+    assert len(leaves) == 3
+    assert g.num_nodes == 3
+
+
+def test_synthetic_registry_entries():
+    ds = get_dataset("dblp")  # smallest synthetic stand-in
+    assert ds.num_communities == 5
+    assert ds.graph.num_nodes == 13184
