@@ -1,0 +1,156 @@
+"""Batched full-covariance GMM EM in XLA.
+
+TPU-native replacement for the reference's sklearn dependency (reference
+``ADSCModel/community_embeddings.py::Community2Vec.fit`` ->
+``sklearn.mixture.GaussianMixture(K, 'full', reg_covar, n_init)`` [R],
+SURVEY.md C8, §3.4 hot loop #2): E and M steps are dense linear algebra
+(Cholesky log-pdf, responsibility-weighted moments) that XLA tiles straight
+onto the MXU, ``n_init`` restarts run *simultaneously* via ``vmap`` instead
+of sequentially, and the best restart is selected by final log-likelihood —
+no host round-trip anywhere.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_LOG_2PI = 1.8378770664093453
+
+
+def _log_prob(X, means, chol):
+    """Gaussian log-pdfs: X [N,d], means [K,d], chol [K,d,d] -> [N,K]."""
+    d = X.shape[-1]
+
+    def per_k(mu, L):
+        diff = (X - mu).T  # [d, N]
+        y = jax.scipy.linalg.solve_triangular(L, diff, lower=True)
+        quad = jnp.sum(y * y, axis=0)  # [N]
+        logdet = jnp.sum(jnp.log(jnp.diagonal(L)))
+        return -0.5 * (d * _LOG_2PI + quad) - logdet
+
+    return jax.vmap(per_k)(means, chol).T  # [N, K]
+
+
+def _e_step(X, means, chol, log_w):
+    """Returns (resp [N,K], mean log-likelihood)."""
+    lp = _log_prob(X, means, chol) + log_w[None, :]
+    norm = jax.scipy.special.logsumexp(lp, axis=1, keepdims=True)
+    return jnp.exp(lp - norm), jnp.mean(norm)
+
+
+def _m_step(X, resp, reg_covar):
+    """Responsibility-weighted moments -> (means, chol, log_weights)."""
+    N, d = X.shape
+    nk = jnp.sum(resp, axis=0) + 10.0 * jnp.finfo(X.dtype).eps  # [K]
+    means = (resp.T @ X) / nk[:, None]
+    diff = X[None, :, :] - means[:, None, :]  # [K, N, d]
+    cov = jnp.einsum("nk,knd,kne->kde", resp, diff, diff) / nk[:, None, None]
+    cov = cov + reg_covar * jnp.eye(d, dtype=X.dtype)[None]
+    chol = jax.lax.linalg.cholesky(cov)
+    return means, chol, jnp.log(nk / N)
+
+
+def _kmeans_init(X, K, key, iters: int = 8):
+    """k-means-style init (sklearn's default init family): random points as
+    centers, a few Lloyd iterations, one-hot responsibilities."""
+    N = X.shape[0]
+    idx = jax.random.choice(key, N, (K,), replace=False)
+    centers = X[idx]
+
+    def lloyd(centers, _):
+        d2 = (
+            jnp.sum(X * X, 1, keepdims=True)
+            - 2.0 * X @ centers.T
+            + jnp.sum(centers * centers, 1)[None]
+        )
+        assign = jnp.argmin(d2, axis=1)
+        onehot = jax.nn.one_hot(assign, K, dtype=X.dtype)
+        counts = jnp.sum(onehot, 0)
+        new = (onehot.T @ X) / jnp.maximum(counts, 1.0)[:, None]
+        new = jnp.where(counts[:, None] > 0, new, centers)
+        return new, None
+
+    centers, _ = jax.lax.scan(lloyd, centers, None, length=iters)
+    d2 = (
+        jnp.sum(X * X, 1, keepdims=True)
+        - 2.0 * X @ centers.T
+        + jnp.sum(centers * centers, 1)[None]
+    )
+    return jax.nn.one_hot(jnp.argmin(d2, axis=1), K, dtype=X.dtype)
+
+
+@partial(jax.jit, static_argnames=("num_components", "max_iter", "n_init"))
+def gmm_em_fit(
+    X: jnp.ndarray,
+    num_components: int,
+    key: jax.Array,
+    n_init: int = 1,
+    max_iter: int = 60,
+    reg_covar: float = 1e-5,
+):
+    """Fit a full-covariance GMM; restarts batched via vmap.
+
+    Returns dict(means [K,d], chol [K,d,d], inv_cov [K,d,d],
+    log_weights [K], resp [N,K], log_likelihood scalar) of the best restart.
+    """
+    K = num_components
+    X = X.astype(jnp.float32)
+
+    def one_fit(k):
+        resp0 = _kmeans_init(X, K, k)
+        means, chol, log_w = _m_step(X, resp0, reg_covar)
+
+        def em(carry, _):
+            means, chol, log_w = carry
+            resp, ll = _e_step(X, means, chol, log_w)
+            means, chol, log_w = _m_step(X, resp, reg_covar)
+            return (means, chol, log_w), ll
+
+        (means, chol, log_w), lls = jax.lax.scan(
+            em, (means, chol, log_w), None, length=max_iter
+        )
+        resp, ll = _e_step(X, means, chol, log_w)
+        return means, chol, log_w, resp, ll
+
+    keys = jax.random.split(key, n_init)
+    means, chol, log_w, resp, ll = jax.vmap(one_fit)(keys)
+    best = jnp.argmax(ll)
+    means, chol, log_w, resp = (
+        means[best],
+        chol[best],
+        log_w[best],
+        resp[best],
+    )
+    eye = jnp.eye(X.shape[1], dtype=X.dtype)
+    inv_cov = jax.vmap(lambda L: jax.scipy.linalg.cho_solve((L, True), eye))(chol)
+    return dict(
+        means=means,
+        chol=chol,
+        inv_cov=inv_cov,
+        log_weights=log_w,
+        resp=resp,
+        log_likelihood=ll[best],
+    )
+
+
+def fit_communities(params, key, n_init: int = 1, max_iter: int = 60,
+                    reg_covar: float = 1e-5):
+    """Reference ``Community2Vec.fit`` analog: EM on current node_emb, then
+    copy means/covs/inverses/responsibilities into the model state."""
+    out = gmm_em_fit(
+        params.node_emb,
+        params.num_communities,
+        key,
+        n_init=n_init,
+        max_iter=max_iter,
+        reg_covar=reg_covar,
+    )
+    return params.replace(
+        centroid=out["means"],
+        chol_cov=out["chol"],
+        inv_cov=out["inv_cov"],
+        pi=out["resp"],
+    ), out["log_likelihood"]

@@ -1,0 +1,63 @@
+"""Fused on-device random-walk generation.
+
+TPU-native replacement for the reference's walk-corpus machinery
+(``utils/graph_utils.py::random_walk / build_deepwalk_corpus /
+write_walks_to_disk / combine_files_iter`` [R], SURVEY.md C3): instead of a
+``multiprocessing.Pool`` streaming walk text files to disk, a batch of walks
+``[B, L]`` is produced by one ``lax.scan`` of flat CSR gathers directly on
+device — no host round-trip, no disk, regenerated fresh every step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from come_tpu.graphs.csr import DeviceCSR
+
+
+def random_walks(
+    csr: DeviceCSR,
+    start_nodes: jnp.ndarray,
+    length: int,
+    key: jax.Array,
+    restart_prob: float = 0.0,
+) -> jnp.ndarray:
+    """Uniform truncated random walks.
+
+    Args:
+      csr: device CSR graph.
+      start_nodes: int32 [B] walk origins.
+      length: walk length L (reference default 80).
+      key: PRNG key.
+      restart_prob: per-step probability of restarting at the origin
+        (the reference ``random_walk``'s ``alpha``; default 0).
+
+    Returns:
+      int32 [B, L] node ids; isolated nodes self-loop in place.
+
+    One step is three flat gathers (degree, offset, neighbor) + a uniform
+    draw, vectorized over the whole batch — this is exactly the layout CSR
+    was chosen for (static shapes, no per-node Python).
+    """
+    start_nodes = start_nodes.astype(jnp.int32)
+
+    def step(carry, key):
+        v = carry
+        ku, kr = jax.random.split(key)
+        deg = csr.degrees[v]
+        u = jax.random.uniform(ku, v.shape, dtype=jnp.float32)
+        # floor(u * deg) in [0, deg); safe for deg < 2^24 in f32
+        r = jnp.minimum((u * deg.astype(jnp.float32)).astype(jnp.int32),
+                        jnp.maximum(deg - 1, 0))
+        nxt = csr.indices[csr.indptr[v] + r]
+        nxt = jnp.where(deg > 0, nxt, v)  # isolated nodes stay put
+        if restart_prob > 0.0:
+            restart = jax.random.uniform(kr, v.shape) < restart_prob
+            nxt = jnp.where(restart, start_nodes, nxt)
+        return nxt, v
+
+    keys = jax.random.split(key, length - 1)
+    last, prefix = jax.lax.scan(step, start_nodes, keys)
+    walks = jnp.concatenate([prefix, last[None]], axis=0)  # [L, B]
+    return walks.T
