@@ -1,0 +1,95 @@
+"""Typed configuration with per-dataset presets.
+
+The reference keeps hyperparameters as hard-coded constants / argparse flags
+in ``main.py`` [R, SURVEY.md C9 §5 "Config"]; here they are one frozen
+dataclass.  Presets mirror BASELINE.json:7-11's five benchmark configs.
+Reference defaults (d=128, walks 10x80, window 10, k=5 negatives, lr=0.025,
+reg_covar 1e-5, alpha/beta trade-offs ~0.1) per SURVEY.md C9.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ComEConfig:
+    # model
+    dim: int = 128
+    num_communities: int = 2
+    # corpus (reference: num_paths=10, path_length=80, window=10)
+    walk_length: int = 80
+    walks_per_node: int = 10
+    window: int = 10
+    negative: int = 5
+    down_sample: float = 0.0  # word2vec `sample`; 0 = off
+    # optimization (reference: lr=0.025, linear decay to min_lr)
+    lr: float = 0.025
+    min_lr: float = 0.0001
+    alpha: float = 1.0  # O2 (edge proximity) loss weight, paper's alpha
+    beta: float = 0.1  # O3 (community closure) weight, paper's beta
+    pretrain_epochs: int = 2
+    outer_iters: int = 5
+    o1_epochs_per_iter: int = 1
+    o2_epochs_per_iter: int = 1
+    o3_steps_per_iter: int = 1
+    # batching (framework-side; the reference used thread job chunks)
+    batch_walks: int = 256
+    batch_edges: int = 65536
+    # pairs per SGD micro-step.  Batched synchronous SGD sums duplicate-row
+    # updates (hogwild applies them sequentially, which self-stabilizes);
+    # keeping row collisions per update bounded is the stability knob
+    # (SURVEY.md §7 hard part 1).  Rule of thumb: ~V * 20 / (2 + negative).
+    batch_pairs: int = 32768
+    # GMM (reference: sklearn GaussianMixture(K, 'full', reg_covar, n_init))
+    reg_covar: float = 1e-5
+    gmm_n_init: int = 1
+    gmm_max_iter: int = 60
+    # per-node O3 gradient-norm bound (None = reference behavior, no guard)
+    o3_grad_clip: float | None = 5.0
+    # reference EXP_TABLE clamp emulation; None = exact sigmoid
+    max_exp: float | None = None
+    seed: int = 0
+
+    def replace(self, **kw) -> "ComEConfig":
+        return dataclasses.replace(self, **kw)
+
+
+PRESETS: dict[str, ComEConfig] = {
+    # BASELINE.json config 1: O1-only DeepWalk on Karate (CPU-runnable)
+    "karate": ComEConfig(
+        dim=16,
+        num_communities=2,
+        walk_length=20,
+        walks_per_node=10,
+        window=5,
+        batch_walks=34,
+        batch_edges=256,
+        batch_pairs=128,
+        outer_iters=3,
+        lr=0.05,
+        beta=0.05,
+        gmm_n_init=2,
+        # 34 points in 16-D: without strong covariance regularization the
+        # EM fit is near-singular and inv_cov blows up the O3 step
+        reg_covar=0.1,
+        o3_grad_clip=1.0,
+    ),
+    # config 2/3: BlogCatalog O1+O2(+O3), d=128, k=5, K=39
+    "blogcatalog": ComEConfig(num_communities=39, gmm_n_init=2),
+    # config 4: Wikipedia / DBLP eval sweep
+    "wikipedia": ComEConfig(num_communities=40, gmm_n_init=2),
+    "dblp": ComEConfig(num_communities=5, gmm_n_init=2),
+    # config 5: Flickr / synthetic 10M-edge multi-host
+    "flickr": ComEConfig(num_communities=195, batch_walks=512),
+    "synthetic-10m": ComEConfig(
+        num_communities=64, batch_walks=1024, batch_edges=262144
+    ),
+}
+
+
+def get_config(name: str) -> ComEConfig:
+    key = name.lower().replace("-synthetic", "")
+    if key in PRESETS:
+        return PRESETS[key]
+    raise KeyError(f"no preset for {name!r}; have {sorted(PRESETS)}")

@@ -24,10 +24,23 @@ def _open(path):
     return open(path, "r")
 
 
+def _sort_labels(labels: np.ndarray) -> np.ndarray:
+    """Numeric order when every label parses as an int, else lexicographic.
+
+    This single ordering rule is shared by the graph loaders and
+    :func:`load_ground_truth` so dense node ids and label rows line up.
+    """
+    labels = np.unique(labels)
+    try:
+        return labels[np.argsort([int(x) for x in labels])]
+    except (TypeError, ValueError):
+        return labels
+
+
 def _densify(src, dst, labels_sorted=None):
     """Map raw labels -> dense ids. Returns (src_ids, dst_ids, names)."""
     if labels_sorted is None:
-        labels_sorted = np.unique(np.concatenate([src, dst]))
+        labels_sorted = _sort_labels(np.concatenate([src, dst]))
     lookup = {l: i for i, l in enumerate(labels_sorted)}
     src_ids = np.fromiter((lookup[x] for x in src), np.int64, len(src))
     dst_ids = np.fromiter((lookup[x] for x in dst), np.int64, len(dst))
@@ -125,14 +138,14 @@ def load_ground_truth(path: str | Path) -> np.ndarray:
             a, b = line.split()[:2]
             nodes.append(a)
             labels.append(int(b))
-    order = np.argsort(np.array(nodes, dtype=object), kind="stable")
-    # sort by the same densification order the graph loaders use
-    try:
-        keys = np.array([int(n) for n in nodes])
-        order = np.argsort(keys)
-    except ValueError:
-        pass
-    return np.asarray(labels, np.int32)[order]
+    nodes = np.asarray(nodes)
+    # same densification order as the graph loaders (_sort_labels)
+    ordered = _sort_labels(nodes)
+    lookup = {n: i for i, n in enumerate(ordered)}
+    out = np.zeros(len(nodes), np.int32)
+    for n, l in zip(nodes, labels):
+        out[lookup[n]] = l
+    return out
 
 
 def save_edgelist(g: CSRGraph, path: str | Path) -> None:

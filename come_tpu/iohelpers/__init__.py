@@ -1,0 +1,13 @@
+from come_tpu.iohelpers.persist import (
+    save_embedding_word2vec,
+    load_embedding_word2vec,
+    save_checkpoint,
+    load_checkpoint,
+)
+
+__all__ = [
+    "save_embedding_word2vec",
+    "load_embedding_word2vec",
+    "save_checkpoint",
+    "load_checkpoint",
+]

@@ -71,9 +71,19 @@ def community_sgd_step(
     beta: float,
     lr: jnp.ndarray | float,
     nodes: jnp.ndarray | None = None,
+    grad_clip: float | None = None,
 ) -> jnp.ndarray:
-    """phi_i -= lr * dL3/dphi_i, full-table or for a node batch."""
+    """phi_i -= lr * dL3/dphi_i, full-table or for a node batch.
+
+    ``grad_clip`` bounds the per-node gradient L2 norm.  The reference has no
+    such guard, but when the EM fit turns near-singular (few points per
+    component relative to d), ``inv_cov`` eigenvalues approach 1/reg_covar
+    and the unclipped step diverges; clipping preserves direction exactly.
+    """
     g = community_grad(node_emb, pi, centroid, inv_cov, beta, nodes)
+    if grad_clip is not None:
+        norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+        g = g * jnp.minimum(1.0, grad_clip / jnp.maximum(norm, 1e-12))
     if nodes is None:
         return node_emb - lr * g
     return scatter_add_rows(node_emb, nodes, -lr * g)

@@ -62,12 +62,15 @@ def init_params(
         key = jax.random.key(0)
     v, d, k = num_nodes, dim, num_communities
     node = jax.random.uniform(key, (v, d), dtype, -0.5 / d, 0.5 / d)
-    eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype), (k, d, d))
+    def eye():
+        # distinct buffers: sharing one array between fields breaks donation
+        return jnp.tile(jnp.eye(d, dtype=dtype)[None], (k, 1, 1))
+
     return ComEParams(
         node_emb=node,
         ctx_emb=jnp.zeros((v, d), dtype),
         centroid=jnp.zeros((k, d), dtype),
-        chol_cov=eye,
-        inv_cov=eye,
+        chol_cov=eye(),
+        inv_cov=eye(),
         pi=jnp.full((v, k), 1.0 / k, dtype),
     )

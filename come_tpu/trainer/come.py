@@ -1,0 +1,328 @@
+"""Alternating ComE trainer: pretrain -> [GMM fit -> O1 -> O2 -> O3 -> eval].
+
+TPU-native re-design of the reference driver loop (reference ``main.py`` [R],
+SURVEY.md C9, §3.1) and of both hogwild learner scaffolds (``ADSCModel/
+context_embeddings.py::Context2Vec.train``, ``ADSCModel/node_embeddings.py::
+Node2Vec.train`` [R], SURVEY.md C6-C7):
+
+* the producer-thread + Queue + worker-threads + Cython-nogil machinery
+  becomes ONE jitted ``lax.scan`` per epoch — walk generation, window-pair
+  extraction, negative sampling, SDDMM scoring, and scatter-add updates all
+  fused on device with zero host round-trips;
+* hogwild's racy writes become deterministic synchronous minibatch updates
+  (same expected gradient; SURVEY.md §7 hard part 1);
+* the linear LR decay ``alpha = max(min_alpha, lr*(1 - words/total))``
+  (gensim lineage, SURVEY.md §3.2) is kept exactly, driven by a device-side
+  word counter shared across O1/O2 phases.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from come_tpu.config import ComEConfig
+from come_tpu.graphs.csr import CSRGraph
+from come_tpu.losses.community import community_loss, community_sgd_step
+from come_tpu.losses.gmm import fit_communities
+from come_tpu.losses.sgns import sgns_sgd_step
+from come_tpu.models import ComEParams, init_params
+from come_tpu.sampling import (
+    build_alias_table,
+    random_walks,
+    sample_alias,
+    skipgram_pairs,
+    subsample_keep_probs,
+    unigram_weights,
+)
+
+
+@struct.dataclass
+class TrainState:
+    params: ComEParams
+    key: jax.Array
+    words_seen: jnp.ndarray  # f32 scalar, drives the linear LR decay
+
+
+def _decayed_lr(words_seen, total_words, lr0, min_lr):
+    frac = 1.0 - words_seen / jnp.maximum(total_words, 1.0)
+    return jnp.maximum(min_lr, lr0 * frac)
+
+
+class ComETrainer:
+    """Single-host trainer; the sharded variant lives in come_tpu.parallel."""
+
+    def __init__(
+        self,
+        graph: CSRGraph,
+        config: ComEConfig,
+        key: jax.Array | None = None,
+    ):
+        self.graph = graph
+        self.cfg = config
+        self.csr = graph.to_device()
+        degrees = graph.degrees
+        accept, alias = build_alias_table(unigram_weights(degrees))
+        self.accept = jnp.asarray(accept)
+        self.alias = jnp.asarray(alias)
+        keep = subsample_keep_probs(degrees, config.down_sample)
+        self.keep = (
+            jnp.asarray(keep) if config.down_sample > 0 else None
+        )
+        src, dst = graph.arcs()
+        self.arc_src = jnp.asarray(src)
+        self.arc_dst = jnp.asarray(dst)
+
+        key = jax.random.key(config.seed) if key is None else key
+        k_init, self.host_key = jax.random.split(key)
+        params = init_params(
+            graph.num_nodes, config.dim, config.num_communities, k_init
+        )
+        self.state = TrainState(
+            params=params,
+            key=jax.random.fold_in(key, 1),
+            words_seen=jnp.zeros((), jnp.float32),
+        )
+        self.total_words = float(self._word_budget())
+        self._history: list[dict] = []
+
+        self._o1_epoch_jit = jax.jit(self._o1_epoch, donate_argnums=0)
+        self._o2_epoch_jit = jax.jit(self._o2_epoch, donate_argnums=0)
+        self._o3_step_jit = jax.jit(self._o3_step, donate_argnums=0)
+
+    # ---------------------------------------------------------------- budget
+
+    def _word_budget(self) -> float:
+        """Total center-word count for the global linear LR decay."""
+        cfg = self.cfg
+        v, e = self.graph.num_nodes, self.graph.num_arcs
+        o1_epochs = cfg.pretrain_epochs + cfg.outer_iters * cfg.o1_epochs_per_iter
+        o2_epochs = cfg.outer_iters * cfg.o2_epochs_per_iter
+        return (
+            o1_epochs * v * cfg.walks_per_node * cfg.walk_length
+            + o2_epochs * e
+        )
+
+    # ------------------------------------------------------------- O1 (walks)
+
+    def _sgns_microbatched(
+        self, node_emb, ctx_emb, c, x, negs, m, lr, tie_tables
+    ):
+        """Apply one macro-batch of pairs as sequential micro-step updates.
+
+        Pairs are generated in large device batches (walks/negatives are
+        cheap and TPU-efficient at scale) but *applied* in chunks of
+        ``cfg.batch_pairs``: hogwild's sequential per-pair application is
+        what keeps word2vec stable, and micro-stepping restores that
+        feedback at chunk granularity while duplicate rows within a chunk
+        still sum exactly like consecutive hogwild updates.
+        """
+        cfg = self.cfg
+        P = c.size
+        K = cfg.negative
+        mb = min(cfg.batch_pairs, P)
+        n_micro = math.ceil(P / mb)
+        pad = n_micro * mb - P
+
+        c2 = jnp.pad(c.reshape(P), (0, pad)).reshape(n_micro, mb)
+        x2 = jnp.pad(x.reshape(P), (0, pad)).reshape(n_micro, mb)
+        n2 = jnp.pad(
+            negs.reshape(P, K), ((0, pad), (0, 0))
+        ).reshape(n_micro, mb, K)
+        m2 = jnp.pad(
+            m.reshape(P).astype(jnp.float32), (0, pad)
+        ).reshape(n_micro, mb)
+
+        def micro(carry, xs):
+            emb_in, emb_out = carry
+            mc, mx, mn, mm = xs
+            emb_in, emb_out, loss, npairs = sgns_sgd_step(
+                emb_in,
+                emb_out,
+                mc,
+                mx,
+                mn,
+                mm,
+                lr,
+                tie_tables=tie_tables,
+                max_exp=cfg.max_exp,
+            )
+            return (emb_in, emb_out), (loss, npairs)
+
+        (node_emb, ctx_emb), (losses, npairs) = jax.lax.scan(
+            micro, (node_emb, ctx_emb), (c2, x2, n2, m2)
+        )
+        return node_emb, ctx_emb, jnp.sum(losses), jnp.sum(npairs)
+
+    def _o1_epoch(self, state: TrainState, start_perm: jnp.ndarray):
+        """start_perm int32 [S, B]: per-step walk origins."""
+        cfg = self.cfg
+        B = start_perm.shape[1]
+
+        def body(carry, starts):
+            params, key, words = carry
+            key, kw, kp, kn = jax.random.split(key, 4)
+            lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
+            walks = random_walks(self.csr, starts, cfg.walk_length, kw)
+            c, x, m = skipgram_pairs(walks, cfg.window, kp, self.keep)
+            negs = sample_alias(self.accept, self.alias, kn, c.shape + (cfg.negative,))
+            ne, ce, loss, npairs = self._sgns_microbatched(
+                params.node_emb, params.ctx_emb, c, x, negs, m, lr,
+                tie_tables=False,
+            )
+            params = params.replace(node_emb=ne, ctx_emb=ce)
+            words = words + jnp.float32(B * cfg.walk_length)
+            return (params, key, words), (loss, npairs)
+
+        (params, key, words), (losses, npairs) = jax.lax.scan(
+            body, (state.params, state.key, state.words_seen), start_perm
+        )
+        state = TrainState(params=params, key=key, words_seen=words)
+        return state, jnp.sum(losses) / jnp.maximum(jnp.sum(npairs), 1.0)
+
+    def o1_epoch(self) -> float:
+        """One pass of `walks_per_node` walks from every node (SURVEY §3.2)."""
+        cfg = self.cfg
+        v = self.graph.num_nodes
+        B = min(cfg.batch_walks, v * cfg.walks_per_node)
+        n_starts = v * cfg.walks_per_node
+        S = math.ceil(n_starts / B)
+        self.host_key, k = jax.random.split(self.host_key)
+        perm = jax.random.permutation(
+            k, jnp.tile(jnp.arange(v, dtype=jnp.int32), cfg.walks_per_node)
+        )
+        perm = jnp.resize(perm, (S, B))  # wraps the tail batch
+        self.state, loss = self._o1_epoch_jit(self.state, perm)
+        return float(loss)
+
+    # ------------------------------------------------------------- O2 (edges)
+
+    def _o2_epoch(self, state: TrainState, src: jnp.ndarray, dst: jnp.ndarray):
+        """src/dst int32 [S, B]: per-step arc batches; tied-table SGNS."""
+        cfg = self.cfg
+
+        def body(carry, arc):
+            params, key, words = carry
+            s, d = arc
+            key, kn = jax.random.split(key)
+            lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
+            negs = sample_alias(
+                self.accept, self.alias, kn, s.shape + (cfg.negative,)
+            )
+            ne, _, loss, npairs = self._sgns_microbatched(
+                params.node_emb,
+                params.node_emb,
+                s,
+                d,
+                negs,
+                jnp.ones_like(s, jnp.float32),
+                lr * cfg.alpha,
+                tie_tables=True,
+            )
+            params = params.replace(node_emb=ne)
+            words = words + jnp.float32(s.shape[0])
+            return (params, key, words), (loss, npairs)
+
+        (params, key, words), (losses, npairs) = jax.lax.scan(
+            body, (state.params, state.key, state.words_seen), (src, dst)
+        )
+        state = TrainState(params=params, key=key, words_seen=words)
+        return state, jnp.sum(losses) / jnp.maximum(jnp.sum(npairs), 1.0)
+
+    def o2_epoch(self) -> float:
+        """One pass over all directed arcs (reference trains the edge list,
+        SURVEY.md C7/§3.3)."""
+        cfg = self.cfg
+        e = self.graph.num_arcs
+        B = min(cfg.batch_edges, e)
+        S = math.ceil(e / B)
+        self.host_key, k = jax.random.split(self.host_key)
+        perm = jax.random.permutation(k, e)
+        src = jnp.resize(self.arc_src[perm], (S, B))
+        dst = jnp.resize(self.arc_dst[perm], (S, B))
+        self.state, loss = self._o2_epoch_jit(self.state, src, dst)
+        return float(loss)
+
+    # --------------------------------------------------------- O3 (community)
+
+    def _o3_step(self, state: TrainState):
+        cfg = self.cfg
+        p = state.params
+        lr = _decayed_lr(
+            state.words_seen, self.total_words, cfg.lr, cfg.min_lr
+        )
+        new_emb = community_sgd_step(
+            p.node_emb, p.pi, p.centroid, p.inv_cov, cfg.beta, lr,
+            grad_clip=cfg.o3_grad_clip,
+        )
+        loss = community_loss(
+            new_emb, p.pi, p.centroid, p.chol_cov, p.inv_cov, cfg.beta
+        )
+        return state.replace(params=p.replace(node_emb=new_emb)), loss
+
+    def o3_pass(self) -> float:
+        loss = 0.0
+        for _ in range(self.cfg.o3_steps_per_iter):
+            self.state, loss = self._o3_step_jit(self.state)
+        return float(loss)
+
+    def fit_gmm(self) -> float:
+        self.host_key, k = jax.random.split(self.host_key)
+        params, ll = fit_communities(
+            self.state.params,
+            k,
+            n_init=self.cfg.gmm_n_init,
+            max_iter=self.cfg.gmm_max_iter,
+            reg_covar=self.cfg.reg_covar,
+        )
+        self.state = self.state.replace(params=params)
+        return float(ll)
+
+    # ----------------------------------------------------------------- driver
+
+    def train(
+        self,
+        labels: np.ndarray | None = None,
+        log: Callable[[str], None] | None = None,
+    ) -> list[dict]:
+        """Full alternating optimization (reference main.py loop, §3.1)."""
+        cfg = self.cfg
+        say = log or (lambda s: None)
+        for e in range(cfg.pretrain_epochs):
+            loss = self.o1_epoch()
+            say(f"pretrain O1 epoch {e}: loss/pair {loss:.4f}")
+        for it in range(cfg.outer_iters):
+            rec: dict = {"iter": it}
+            rec["gmm_ll"] = self.fit_gmm()
+            for _ in range(cfg.o1_epochs_per_iter):
+                rec["o1_loss"] = self.o1_epoch()
+            for _ in range(cfg.o2_epochs_per_iter):
+                rec["o2_loss"] = self.o2_epoch()
+            rec["o3_loss"] = self.o3_pass()
+            if labels is not None:
+                from come_tpu.evaluation import nmi_score
+
+                rec["nmi"] = nmi_score(labels, self.communities())
+            say(
+                f"iter {it}: "
+                + ", ".join(
+                    f"{k}={v:.4f}" for k, v in rec.items() if k != "iter"
+                )
+            )
+            self._history.append(rec)
+        return self._history
+
+    # ------------------------------------------------------------------ views
+
+    def embeddings(self) -> np.ndarray:
+        return np.asarray(self.state.params.node_emb)
+
+    def communities(self) -> np.ndarray:
+        """argmax responsibilities — the reference's NMI input (§3.5)."""
+        return np.asarray(jnp.argmax(self.state.params.pi, axis=1))

@@ -1,0 +1,85 @@
+"""End-to-end Karate training (BASELINE.json config 1: the PR1 gate)."""
+
+import numpy as np
+import pytest
+
+from come_tpu.config import get_config
+from come_tpu.evaluation import nmi_score
+from come_tpu.graphs import get_dataset
+from come_tpu.trainer import ComETrainer
+
+
+@pytest.fixture(scope="module")
+def karate():
+    return get_dataset("karate")
+
+
+def test_o1_only_learns_karate_communities(karate):
+    """DeepWalk mode: O1 skip-gram only; embeddings must separate the clubs."""
+    cfg = get_config("karate").replace(outer_iters=0, pretrain_epochs=6)
+    t = ComETrainer(karate.graph, cfg)
+    first = t.o1_epoch()
+    for _ in range(5):
+        last = t.o1_epoch()
+    assert last < first  # loss decreases
+    # cluster the raw embeddings with our GMM fit -> NMI vs ground truth
+    t.fit_gmm()
+    nmi = nmi_score(karate.labels, t.communities())
+    assert nmi > 0.3, nmi
+
+
+def test_full_come_loop_improves_nmi(karate):
+    cfg = get_config("karate")
+    t = ComETrainer(karate.graph, cfg)
+    hist = t.train(labels=karate.labels)
+    assert len(hist) == cfg.outer_iters
+    final_nmi = hist[-1]["nmi"]
+    assert final_nmi > 0.5, hist
+    # losses are finite and recorded
+    for rec in hist:
+        for k in ("o1_loss", "o2_loss", "o3_loss", "gmm_ll"):
+            assert np.isfinite(rec[k]), rec
+
+
+def test_determinism_same_seed(karate):
+    """SURVEY.md §5: synchronous scatter-add makes training deterministic."""
+    cfg = get_config("karate").replace(outer_iters=1, pretrain_epochs=1)
+    e1 = ComETrainer(karate.graph, cfg)
+    e1.train(labels=None)
+    e2 = ComETrainer(karate.graph, cfg)
+    e2.train(labels=None)
+    np.testing.assert_array_equal(e1.embeddings(), e2.embeddings())
+
+
+def test_checkpoint_roundtrip(tmp_path, karate):
+    from come_tpu.iohelpers import load_checkpoint, save_checkpoint
+
+    cfg = get_config("karate").replace(outer_iters=1, pretrain_epochs=1)
+    t = ComETrainer(karate.graph, cfg)
+    t.train()
+    ckpt = tmp_path / "state.npz"
+    save_checkpoint(ckpt, t.state)
+    restored = load_checkpoint(ckpt)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params.node_emb), t.embeddings()
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored.words_seen), np.asarray(t.state.words_seen)
+    )
+    # resumed training continues without error and stays deterministic
+    t.state = restored
+    t.o1_epoch()
+
+
+def test_word2vec_text_roundtrip(tmp_path):
+    from come_tpu.iohelpers import (
+        load_embedding_word2vec,
+        save_embedding_word2vec,
+    )
+
+    emb = np.random.default_rng(0).normal(size=(5, 3)).astype(np.float32)
+    p = tmp_path / "emb.txt"
+    save_embedding_word2vec(p, emb, node_names=["a", "b", "c", "d", "e"])
+    back, names = load_embedding_word2vec(p)
+    assert names == ["a", "b", "c", "d", "e"]
+    np.testing.assert_allclose(back, emb, atol=1e-5)
