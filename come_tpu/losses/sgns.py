@@ -27,34 +27,22 @@ from come_tpu.ops.sparse import (
 )
 
 
-def sgns_loss_and_grads(
-    emb_in: jnp.ndarray,
-    emb_out: jnp.ndarray,
-    centers: jnp.ndarray,
-    contexts: jnp.ndarray,
-    negatives: jnp.ndarray,
+def sgns_grads_from_rows(
+    phi: jnp.ndarray,
+    cpos: jnp.ndarray,
+    cneg: jnp.ndarray,
     mask: jnp.ndarray,
     max_exp: float | None = None,
 ):
-    """Compute loss and per-row gradient contributions for one batch.
+    """Core SGNS math on pre-gathered rows (shared by the local path and the
+    sharded path, where gathering itself involves collectives).
 
     Args:
-      emb_in:  [V, d] input table (phi / node_emb).
-      emb_out: [V, d] output table (ctx_emb for O1; node_emb for O2).
-      centers, contexts: int32 [P].
-      negatives: int32 [P, K].
-      mask: bool/float [P]; masked-out pairs contribute nothing.
-      max_exp: optional reference-style clamp (see module docstring).
+      phi: [P, d] center rows; cpos: [P, d] context rows; cneg: [P, K, d].
+      mask: bool/float [P].
 
-    Returns:
-      (loss, n_pairs, (d_phi [P,d], d_cpos [P,d], d_cneg [P,K,d])) where the
-      d_* are dL/d(row) contributions, to be scatter-added at
-      centers/contexts/negatives respectively.
+    Returns (loss, n_pairs, (d_phi, d_cpos, d_cneg)).
     """
-    phi = gather_rows(emb_in, centers)
-    cpos = gather_rows(emb_out, contexts)
-    cneg = gather_rows(emb_out, negatives)
-
     spos = sddmm_pair_scores(phi, cpos)  # [P]
     sneg = sddmm_neg_scores(phi, cneg)  # [P, K]
 
@@ -78,6 +66,33 @@ def sgns_loss_and_grads(
     d_cpos = gpos[:, None] * phi
     d_cneg = gneg[..., None] * phi[:, None, :]
     return loss, n_pairs, (d_phi, d_cpos, d_cneg)
+
+
+def sgns_loss_and_grads(
+    emb_in: jnp.ndarray,
+    emb_out: jnp.ndarray,
+    centers: jnp.ndarray,
+    contexts: jnp.ndarray,
+    negatives: jnp.ndarray,
+    mask: jnp.ndarray,
+    max_exp: float | None = None,
+):
+    """Loss + per-row gradient contributions for one batch (full tables).
+
+    Args:
+      emb_in:  [V, d] input table (phi / node_emb).
+      emb_out: [V, d] output table (ctx_emb for O1; node_emb for O2).
+      centers, contexts: int32 [P]; negatives: int32 [P, K].
+      mask: bool/float [P]; masked-out pairs contribute nothing.
+
+    Returns (loss, n_pairs, (d_phi [P,d], d_cpos [P,d], d_cneg [P,K,d])),
+    the d_* being dL/d(row) contributions to scatter-add at
+    centers/contexts/negatives respectively.
+    """
+    phi = gather_rows(emb_in, centers)
+    cpos = gather_rows(emb_out, contexts)
+    cneg = gather_rows(emb_out, negatives)
+    return sgns_grads_from_rows(phi, cpos, cneg, mask, max_exp)
 
 
 def sddmm_neg_scores_t(gneg: jnp.ndarray, cneg: jnp.ndarray) -> jnp.ndarray:

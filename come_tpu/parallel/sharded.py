@@ -1,0 +1,399 @@
+"""Sharded ComE training: data-parallel batches x row-sharded tables.
+
+This is the runtime the reference never had (SURVEY.md §2 parallelism table):
+hogwild shared-memory threads become a ``shard_map`` over a
+('data','model') mesh, with XLA collectives over ICI doing the row exchange
+BASELINE.json:5 calls for.
+
+Per SGD micro-step on device (i_d, i_m):
+  gather   - each model shard contributes its owned rows for the batch's
+             indices (masked local gather), combined by psum over 'model' —
+             the boundary-row exchange.
+  compute  - SGNS math on the data shard's pairs (losses.sgns core).
+  scatter  - updates are scatter-added into a local [V/M, d] delta for rows
+             this model shard owns, then psum'd over 'data' so the
+             data-replicas of every table shard stay bit-identical.
+
+Semantics match the single-device trainer exactly (same sum-of-duplicates
+updates, same micro-batch boundaries) when the global ``batch_pairs`` is
+equal — asserted by tests/test_parallel.py on a virtual 8-device CPU mesh.
+
+O3 is embarrassingly row-parallel: pi and node_emb are sharded identically
+and centroid/inv_cov are replicated, so the community step needs zero
+communication.  The GMM E-step is sharded the same way; M-step moments are
+psum'd (distributed EM).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from come_tpu.config import ComEConfig
+from come_tpu.graphs.csr import CSRGraph
+from come_tpu.losses.community import community_loss, community_sgd_step
+from come_tpu.losses.gmm import fit_communities
+from come_tpu.losses.sgns import sgns_grads_from_rows
+from come_tpu.models import ComEParams
+from come_tpu.parallel.mesh import MeshLayout
+from come_tpu.sampling import random_walks, sample_alias, skipgram_pairs
+from come_tpu.trainer.come import ComETrainer, TrainState, _decayed_lr
+
+
+# --------------------------------------------------------------------------
+# collective sparse primitives (called inside shard_map)
+# --------------------------------------------------------------------------
+
+def psum_gather(table_shard: jnp.ndarray, idx: jnp.ndarray, axis: str = "model"):
+    """Gather global rows from a row-sharded table: masked local gather +
+    psum over the model axis (the ICI boundary-row exchange)."""
+    rows_per = table_shard.shape[0]
+    my = jax.lax.axis_index(axis)
+    local = idx - my * rows_per
+    ok = (local >= 0) & (local < rows_per)
+    safe = jnp.clip(local, 0, rows_per - 1)
+    rows = jnp.where(ok[..., None], table_shard[safe], 0.0)
+    return jax.lax.psum(rows, axis)
+
+
+def owned_scatter_add(delta_shard, idx, upd, axis: str = "model"):
+    """Scatter-add updates for rows owned by this model shard into the local
+    delta; other shards' rows are dropped (their owners handle them)."""
+    rows_per = delta_shard.shape[0]
+    my = jax.lax.axis_index(axis)
+    local = idx - my * rows_per
+    ok = (local >= 0) & (local < rows_per)
+    safe = jnp.where(ok, local, 0)
+    upd = jnp.where(ok[..., None], upd, 0.0)
+    return delta_shard.at[safe].add(upd)
+
+
+# --------------------------------------------------------------------------
+# sharded trainer
+# --------------------------------------------------------------------------
+
+class ShardedComETrainer(ComETrainer):
+    """ComE trainer over a ('data','model') mesh.
+
+    Pads V to a multiple of the model axis (dummy rows receive no walks, no
+    negative-sampling mass, and hence no updates).  Degenerates to the base
+    trainer's semantics at mesh (1, 1).
+    """
+
+    def __init__(
+        self,
+        graph: CSRGraph,
+        config: ComEConfig,
+        mesh,
+        key: jax.Array | None = None,
+    ):
+        self.layout = MeshLayout(mesh)
+        m = self.layout.model_size
+        self.v_real = graph.num_nodes
+        self.v_pad = math.ceil(graph.num_nodes / m) * m
+        super().__init__(graph, config, key)
+        # re-init state padded + sharded
+        if self.v_pad != self.v_real:
+            p = self.state.params
+            pad = self.v_pad - self.v_real
+            p = p.replace(
+                node_emb=jnp.pad(p.node_emb, ((0, pad), (0, 0))),
+                ctx_emb=jnp.pad(p.ctx_emb, ((0, pad), (0, 0))),
+                pi=jnp.pad(p.pi, ((0, pad), (0, 0))),
+            )
+            self.state = self.state.replace(params=p)
+        self._shard_state()
+        self._make_jits()  # replace the base class's unsharded jits
+
+    # ---------------------------------------------------------------- setup
+
+    def _shard_state(self):
+        lay = self.layout
+        specs = lay.params_specs()
+        p = self.state.params
+        p = ComEParams(
+            node_emb=lay.shard(p.node_emb, specs.node_emb),
+            ctx_emb=lay.shard(p.ctx_emb, specs.ctx_emb),
+            centroid=lay.shard(p.centroid, specs.centroid),
+            chol_cov=lay.shard(p.chol_cov, specs.chol_cov),
+            inv_cov=lay.shard(p.inv_cov, specs.inv_cov),
+            pi=lay.shard(p.pi, specs.pi),
+        )
+        self.state = self.state.replace(params=p)
+
+    def _state_specs(self) -> TrainState:
+        lay = self.layout
+        return TrainState(
+            params=lay.params_specs(),
+            key=P(),
+            words_seen=P(),
+        )
+
+    # ------------------------------------------------------- sharded kernels
+
+    def _sgns_microbatched_sharded(
+        self, node_emb, ctx_emb, c, x, negs, m, lr, tie_tables
+    ):
+        """Inside shard_map: c/x/negs/m are the LOCAL (data-shard) slices;
+        node_emb/ctx_emb are the LOCAL (model-shard) table slices."""
+        cfg = self.cfg
+        D = self.layout.data_size
+        P_local = c.size
+        K = cfg.negative
+        mb = max(1, min(cfg.batch_pairs // D, P_local))
+        n_micro = math.ceil(P_local / mb)
+        pad = n_micro * mb - P_local
+
+        c2 = jnp.pad(c.reshape(P_local), (0, pad)).reshape(n_micro, mb)
+        x2 = jnp.pad(x.reshape(P_local), (0, pad)).reshape(n_micro, mb)
+        n2 = jnp.pad(negs.reshape(P_local, K), ((0, pad), (0, 0))).reshape(
+            n_micro, mb, K
+        )
+        m2 = jnp.pad(
+            m.reshape(P_local).astype(jnp.float32), (0, pad)
+        ).reshape(n_micro, mb)
+
+        dim = node_emb.shape[1]
+
+        def micro(carry, xs):
+            emb_in, emb_out = carry
+            mc, mx, mn, mm = xs
+            phi = psum_gather(emb_in, mc)
+            cpos = psum_gather(emb_out, mx)
+            cneg = psum_gather(emb_out, mn)
+            loss, npairs, (d_phi, d_cpos, d_cneg) = sgns_grads_from_rows(
+                phi, cpos, cneg, mm, cfg.max_exp
+            )
+            mnf = mn.reshape(mb * K)
+            d_cneg = d_cneg.reshape(mb * K, dim)
+            if tie_tables:
+                delta = jnp.zeros_like(emb_in)
+                delta = owned_scatter_add(delta, mc, d_phi * (-lr))
+                delta = owned_scatter_add(delta, mx, d_cpos * (-lr))
+                delta = owned_scatter_add(delta, mnf, d_cneg * (-lr))
+                delta = jax.lax.psum(delta, "data")
+                emb_in = emb_in + delta
+                emb_out = emb_in
+            else:
+                din = owned_scatter_add(
+                    jnp.zeros_like(emb_in), mc, d_phi * (-lr)
+                )
+                dout = jnp.zeros_like(emb_out)
+                dout = owned_scatter_add(dout, mx, d_cpos * (-lr))
+                dout = owned_scatter_add(dout, mnf, d_cneg * (-lr))
+                din = jax.lax.psum(din, "data")
+                dout = jax.lax.psum(dout, "data")
+                emb_in = emb_in + din
+                emb_out = emb_out + dout
+            return (emb_in, emb_out), (loss, npairs)
+
+        (node_emb, ctx_emb), (losses, npairs) = jax.lax.scan(
+            micro, (node_emb, ctx_emb), (c2, x2, n2, m2)
+        )
+        loss = jax.lax.psum(jnp.sum(losses), "data")
+        npair = jax.lax.psum(jnp.sum(npairs), "data")
+        return node_emb, ctx_emb, loss, npair
+
+    def _o1_epoch(self, state: TrainState, start_perm: jnp.ndarray):
+        """shard_map body: start_perm [S, B] arrives sliced over 'data'."""
+        cfg = self.cfg
+        B_global = start_perm.shape[1] * self.layout.data_size
+
+        def body(carry, starts):
+            params, key, words = carry
+            # decorrelate RNG across data shards (walks/negs are local)
+            dkey = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            key = jax.random.fold_in(key, 7)
+            _, kw, kp, kn = jax.random.split(dkey, 4)
+            lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
+            walks = random_walks(self.csr, starts, cfg.walk_length, kw)
+            c, x, m = skipgram_pairs(walks, cfg.window, kp, self.keep)
+            negs = sample_alias(
+                self.accept, self.alias, kn, c.shape + (cfg.negative,)
+            )
+            ne, ce, loss, npairs = self._sgns_microbatched_sharded(
+                params.node_emb, params.ctx_emb, c, x, negs, m, lr,
+                tie_tables=False,
+            )
+            params = params.replace(node_emb=ne, ctx_emb=ce)
+            words = words + jnp.float32(B_global * cfg.walk_length)
+            return (params, key, words), (loss, npairs)
+
+        (params, key, words), (losses, npairs) = jax.lax.scan(
+            body, (state.params, state.key, state.words_seen), start_perm
+        )
+        state = TrainState(params=params, key=key, words_seen=words)
+        return state, jnp.sum(losses) / jnp.maximum(jnp.sum(npairs), 1.0)
+
+    def _o2_epoch(self, state: TrainState, src: jnp.ndarray, dst: jnp.ndarray):
+        cfg = self.cfg
+        B_global = src.shape[1] * self.layout.data_size
+
+        def body(carry, arc):
+            params, key, words = carry
+            s, d = arc
+            dkey = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            key = jax.random.fold_in(key, 7)
+            kn, _ = jax.random.split(dkey)
+            lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
+            negs = sample_alias(
+                self.accept, self.alias, kn, s.shape + (cfg.negative,)
+            )
+            ne, _, loss, npairs = self._sgns_microbatched_sharded(
+                params.node_emb,
+                params.node_emb,
+                s,
+                d,
+                negs,
+                jnp.ones_like(s, jnp.float32),
+                lr * cfg.alpha,
+                tie_tables=True,
+            )
+            params = params.replace(node_emb=ne)
+            words = words + jnp.float32(B_global)
+            return (params, key, words), (loss, npairs)
+
+        (params, key, words), (losses, npairs) = jax.lax.scan(
+            body, (state.params, state.key, state.words_seen), (src, dst)
+        )
+        state = TrainState(params=params, key=key, words_seen=words)
+        return state, jnp.sum(losses) / jnp.maximum(jnp.sum(npairs), 1.0)
+
+    # ------------------------------------------------------------- jit setup
+
+    def _make_jits(self):
+        lay = self.layout
+        mesh = lay.mesh
+        st = self._state_specs()
+
+        self._o1_epoch_jit = jax.jit(
+            shard_map(
+                self._o1_epoch,
+                mesh=mesh,
+                in_specs=(st, P(None, "data")),
+                out_specs=(st, P()),
+                check_vma=False,
+            ),
+            donate_argnums=0,
+        )
+        self._o2_epoch_jit = jax.jit(
+            shard_map(
+                self._o2_epoch,
+                mesh=mesh,
+                in_specs=(st, P(None, "data"), P(None, "data")),
+                out_specs=(st, P()),
+                check_vma=False,
+            ),
+            donate_argnums=0,
+        )
+
+        def o3_step(state):
+            # pi/node_emb row-sharded identically, centroid/inv_cov
+            # replicated: the community step is communication-free
+            cfg = self.cfg
+            p = state.params
+            lr = _decayed_lr(
+                state.words_seen, self.total_words, cfg.lr, cfg.min_lr
+            )
+            new_emb = community_sgd_step(
+                p.node_emb, p.pi, p.centroid, p.inv_cov, cfg.beta, lr,
+                grad_clip=cfg.o3_grad_clip,
+            )
+            loss = community_loss(
+                new_emb, p.pi, p.centroid, p.chol_cov, p.inv_cov, cfg.beta
+            )
+            loss = jax.lax.psum(loss, "model")
+            return state.replace(params=p.replace(node_emb=new_emb)), loss
+
+        self._o3_step_jit = jax.jit(
+            shard_map(
+                o3_step,
+                mesh=mesh,
+                in_specs=(st,),
+                out_specs=(st, P()),
+                check_vma=False,
+            ),
+            donate_argnums=0,
+        )
+
+    # ------------------------------------------------------------ host driver
+
+    def o1_epoch(self) -> float:
+        cfg = self.cfg
+        lay = self.layout
+        v = self.v_real
+        D = lay.data_size
+        n_starts = v * cfg.walks_per_node
+        B = min(cfg.batch_walks, n_starts)
+        B = max(D, (B // D) * D)  # divisible by data axis
+        S = math.ceil(n_starts / B)
+        self.host_key, k = jax.random.split(self.host_key)
+        perm = jax.random.permutation(
+            k, jnp.tile(jnp.arange(v, dtype=jnp.int32), cfg.walks_per_node)
+        )
+        perm = jnp.resize(perm, (S, B))
+        perm = lay.shard(perm, P(None, "data"))
+        self.state, loss = self._o1_epoch_jit(self.state, perm)
+        return float(loss)
+
+    def o2_epoch(self) -> float:
+        cfg = self.cfg
+        lay = self.layout
+        e = self.graph.num_arcs
+        D = lay.data_size
+        B = min(cfg.batch_edges, e)
+        B = max(D, (B // D) * D)
+        S = math.ceil(e / B)
+        self.host_key, k = jax.random.split(self.host_key)
+        perm = jax.random.permutation(k, e)
+        src = jnp.resize(self.arc_src[perm], (S, B))
+        dst = jnp.resize(self.arc_dst[perm], (S, B))
+        src = lay.shard(src, P(None, "data"))
+        dst = lay.shard(dst, P(None, "data"))
+        self.state, loss = self._o2_epoch_jit(self.state, src, dst)
+        return float(loss)
+
+    def fit_gmm(self) -> float:
+        """EM on the (padded) table: pad rows sit at the uniform init and are
+        excluded by weighting; round-1 implementation gathers the table (it
+        is replicated across 'data' anyway) and runs the batched XLA EM."""
+        self.host_key, k = jax.random.split(self.host_key)
+        p = self.state.params
+        emb = p.node_emb[: self.v_real]
+        from come_tpu.losses.gmm import gmm_em_fit
+
+        out = gmm_em_fit(
+            emb,
+            self.cfg.num_communities,
+            k,
+            n_init=self.cfg.gmm_n_init,
+            max_iter=self.cfg.gmm_max_iter,
+            reg_covar=self.cfg.reg_covar,
+        )
+        pi = out["resp"]
+        if self.v_pad != self.v_real:
+            pi = jnp.pad(pi, ((0, self.v_pad - self.v_real), (0, 0)))
+        lay = self.layout
+        specs = lay.params_specs()
+        p = p.replace(
+            centroid=lay.shard(out["means"], specs.centroid),
+            chol_cov=lay.shard(out["chol"], specs.chol_cov),
+            inv_cov=lay.shard(out["inv_cov"], specs.inv_cov),
+            pi=lay.shard(pi, specs.pi),
+        )
+        self.state = self.state.replace(params=p)
+        return float(out["log_likelihood"])
+
+    def embeddings(self) -> np.ndarray:
+        return np.asarray(self.state.params.node_emb[: self.v_real])
+
+    def communities(self) -> np.ndarray:
+        return np.asarray(
+            jnp.argmax(self.state.params.pi[: self.v_real], axis=1)
+        )
