@@ -23,6 +23,12 @@ class ComEConfig:
     window: int = 10
     negative: int = 5
     down_sample: float = 0.0  # word2vec `sample`; 0 = off
+    # "per_pair": reference semantics, k fresh negatives per pair (the numpy
+    # oracle's model).  "shared": one pool of `shared_negatives` per SGD
+    # micro-step, scored via MXU matmuls (GraphVite-style; see
+    # losses/sgns_block.py) — the TPU fast path.
+    negative_mode: str = "per_pair"
+    shared_negatives: int = 1024
     # optimization (reference: lr=0.025, linear decay to min_lr)
     lr: float = 0.025
     min_lr: float = 0.0001

@@ -112,7 +112,7 @@ class ComETrainer:
     # ------------------------------------------------------------- O1 (walks)
 
     def _sgns_microbatched(
-        self, node_emb, ctx_emb, c, x, negs, m, lr, tie_tables
+        self, node_emb, ctx_emb, c, x, negs, m, lr, key, tie_tables
     ):
         """Apply one macro-batch of pairs as sequential micro-step updates.
 
@@ -132,12 +132,36 @@ class ComETrainer:
 
         c2 = jnp.pad(c.reshape(P), (0, pad)).reshape(n_micro, mb)
         x2 = jnp.pad(x.reshape(P), (0, pad)).reshape(n_micro, mb)
-        n2 = jnp.pad(
-            negs.reshape(P, K), ((0, pad), (0, 0))
-        ).reshape(n_micro, mb, K)
         m2 = jnp.pad(
             m.reshape(P).astype(jnp.float32), (0, pad)
         ).reshape(n_micro, mb)
+
+        if cfg.negative_mode == "shared":
+            from come_tpu.losses.sgns_block import sgns_block_sgd_step
+
+            keys = jax.random.split(key, n_micro)
+            nw = cfg.negative / cfg.shared_negatives
+
+            def micro(carry, xs):
+                emb_in, emb_out = carry
+                mc, mx, mm, k = xs
+                sneg = sample_alias(
+                    self.accept, self.alias, k, (cfg.shared_negatives,)
+                )
+                emb_in, emb_out, loss, npairs = sgns_block_sgd_step(
+                    emb_in, emb_out, mc, mx, sneg, mm, lr, nw,
+                    tie_tables=tie_tables,
+                )
+                return (emb_in, emb_out), (loss, npairs)
+
+            (node_emb, ctx_emb), (losses, npairs) = jax.lax.scan(
+                micro, (node_emb, ctx_emb), (c2, x2, m2, keys)
+            )
+            return node_emb, ctx_emb, jnp.sum(losses), jnp.sum(npairs)
+
+        n2 = jnp.pad(
+            negs.reshape(P, K), ((0, pad), (0, 0))
+        ).reshape(n_micro, mb, K)
 
         def micro(carry, xs):
             emb_in, emb_out = carry
@@ -171,9 +195,13 @@ class ComETrainer:
             lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
             walks = random_walks(self.csr, starts, cfg.walk_length, kw)
             c, x, m = skipgram_pairs(walks, cfg.window, kp, self.keep)
-            negs = sample_alias(self.accept, self.alias, kn, c.shape + (cfg.negative,))
+            negs = None
+            if cfg.negative_mode != "shared":
+                negs = sample_alias(
+                    self.accept, self.alias, kn, c.shape + (cfg.negative,)
+                )
             ne, ce, loss, npairs = self._sgns_microbatched(
-                params.node_emb, params.ctx_emb, c, x, negs, m, lr,
+                params.node_emb, params.ctx_emb, c, x, negs, m, lr, kn,
                 tie_tables=False,
             )
             params = params.replace(node_emb=ne, ctx_emb=ce)
@@ -212,9 +240,11 @@ class ComETrainer:
             s, d = arc
             key, kn = jax.random.split(key)
             lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
-            negs = sample_alias(
-                self.accept, self.alias, kn, s.shape + (cfg.negative,)
-            )
+            negs = None
+            if cfg.negative_mode != "shared":
+                negs = sample_alias(
+                    self.accept, self.alias, kn, s.shape + (cfg.negative,)
+                )
             ne, _, loss, npairs = self._sgns_microbatched(
                 params.node_emb,
                 params.node_emb,
@@ -223,6 +253,7 @@ class ComETrainer:
                 negs,
                 jnp.ones_like(s, jnp.float32),
                 lr * cfg.alpha,
+                kn,
                 tie_tables=True,
             )
             params = params.replace(node_emb=ne)
