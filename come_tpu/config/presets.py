@@ -29,6 +29,13 @@ class ComEConfig:
     # losses/sgns_block.py) — the TPU fast path.
     negative_mode: str = "per_pair"
     shared_negatives: int = 1024
+    # "auto": fused Pallas SGNS kernel on TPU when tables fit VMEM and
+    # negative_mode == "shared"; "never": always the XLA path; "always":
+    # force the kernel (interpret-mode off-TPU — tests only).
+    pallas: str = "auto"
+    # pairs per fused-kernel tile (sequential on TPU; the effective
+    # micro-batch granularity inside the kernel)
+    pallas_tile_pairs: int = 256
     # optimization (reference: lr=0.025, linear decay to min_lr)
     lr: float = 0.025
     min_lr: float = 0.0001

@@ -63,7 +63,11 @@ def main(argv=None) -> int:
     t0 = time.time()
     trainer = ComETrainer(ds.graph, cfg)
     emit = (lambda s: print(json.dumps({"log": s}))) if args.json else print
-    history = trainer.train(labels=ds.single_labels, log=emit)
+    history = trainer.train(
+        labels=ds.single_labels,
+        log=emit,
+        checkpoint_dir=args.checkpoint_dir,
+    )
     dt = time.time() - t0
     print(f"trained in {dt:.1f}s")
     if history and "nmi" in history[-1]:

@@ -1,0 +1,242 @@
+"""Pallas TPU kernel: fused SGNS micro-step with VMEM-resident tables.
+
+This is the speed-of-light replacement for the reference's Cython inner loop
+(``utils/training_sdg_inner.pyx`` [R], SURVEY.md C1) on graphs whose tables
+fit in VMEM (V*d*4B <= ~6 MB per table, e.g. BlogCatalog at d=128).  The XLA
+path streams both tables from HBM for every gather/scatter — random 512 B
+row accesses at poor DRAM efficiency; here both tables are pinned in VMEM
+for the whole micro-step, so row traffic runs at VMEM bandwidth and the
+negative scoring runs on the MXU:
+
+  grid step = one tile of TP pairs (sequential on TPU, so tile t+1 sees
+  tile t's updates — closer to the reference's sequential hogwild than the
+  XLA micro-batch path):
+    1. gather   phi[TP,d], cpos[TP,d] rows from the VMEM tables
+    2. scores   pos: rowwise dot (VPU); neg: phi @ Cneg^T (MXU) against a
+                shared pool of KP negative rows staged into scratch once
+    3. grads    word2vec SGNS gradients (losses/sgns_block.py math)
+    4. scatter  read-modify-write phi/cpos rows back one-by-one (exact
+                duplicate accumulation); the dense negative-pool gradient
+                accumulates in scratch and is applied on the last tile
+
+Semantics: pairs update synchronously within a TP-tile and sequentially
+across tiles; the shared-negative rows accumulate their gradient over the
+whole micro-step and apply once at the end (documented divergence from the
+per-pair reference; quality validated end-to-end).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fused_kernel(
+    # scalar-prefetch
+    sneg_ref,  # [KP] int32 (SMEM): shared negative row ids
+    # inputs
+    c_ref,  # [TP] int32 (SMEM): center rows for this tile
+    x_ref,  # [TP] int32 (SMEM): context rows for this tile
+    mask_ref,  # [TP, 1] f32 (VMEM)
+    scal_ref,  # [2] f32 (SMEM): lr, negative_weight
+    emb_in_hbm,  # [V, d] f32 (ANY): input table (aliased out)
+    emb_out_hbm,  # [V, d] f32 (ANY): output table (aliased out)
+    # outputs
+    emb_in_out,
+    emb_out_out,
+    loss_ref,  # [1, 1] f32 (SMEM out)
+    # scratch
+    a_ref,  # [TP, d] phi rows
+    b_ref,  # [TP, d] cpos rows
+    cneg_ref,  # [KP, d] negative pool rows
+    dneg_ref,  # [KP, d] negative pool grad accumulator
+    acc_ref,  # [1, 1] f32 loss accumulator
+    *,
+    TP: int,
+    KP: int,
+    tie_tables: bool,
+):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    lr = scal_ref[0]
+    negw = scal_ref[1]
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[0, 0] = 0.0
+        # stage the shared negative pool into scratch
+        def g(k, _):
+            cneg_ref[k, :] = emb_out_out[sneg_ref[k], :]
+            return 0
+
+        jax.lax.fori_loop(0, KP, g, 0)
+        dneg_ref[:, :] = jnp.zeros_like(dneg_ref)
+
+    # 1. gather phi / cpos rows (row-by-row from VMEM-resident tables)
+    def gather(t, _):
+        a_ref[t, :] = emb_in_out[c_ref[t], :]
+        b_ref[t, :] = emb_out_out[x_ref[t], :]
+        return 0
+
+    jax.lax.fori_loop(0, TP, gather, 0)
+
+    phi = a_ref[:, :]  # [TP, d]
+    cpos = b_ref[:, :]
+    m = mask_ref[:, :]  # [TP, 1]
+
+    # 2. scores
+    spos = jnp.sum(phi * cpos, axis=1, keepdims=True)  # [TP, 1] (VPU)
+    sneg = jax.lax.dot_general(
+        phi,
+        cneg_ref[:, :],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TP, KP] (MXU), contraction over d avoids an explicit transpose
+
+    # 3. SGNS gradients (descent on -log s(spos) - negw*sum log s(-sneg))
+    gpos = (jax.nn.sigmoid(spos) - 1.0) * m  # [TP, 1]
+    gneg = jax.nn.sigmoid(sneg) * (negw * m)  # [TP, KP]
+
+    acc_ref[0, 0] += -(
+        jnp.sum(m * jax.nn.log_sigmoid(spos))
+        + negw * jnp.sum(m * jax.nn.log_sigmoid(-sneg))
+    )
+
+    d_phi = gpos * cpos + jnp.dot(
+        gneg, cneg_ref[:, :], preferred_element_type=jnp.float32
+    )  # [TP, d]
+    d_cpos = gpos * phi
+    # negative-pool gradient accumulates across tiles (applied at the end)
+    dneg_ref[:, :] += jax.lax.dot_general(
+        gneg,
+        phi,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [KP, d]
+
+    # stage updates, then read-modify-write row-by-row (duplicates exact)
+    a_ref[:, :] = d_phi * (-lr)
+    b_ref[:, :] = d_cpos * (-lr)
+
+    def scatter(t, _):
+        ci = c_ref[t]
+        emb_in_out[ci, :] = emb_in_out[ci, :] + a_ref[t, :]
+        xi = x_ref[t]
+        emb_out_out[xi, :] = emb_out_out[xi, :] + b_ref[t, :]
+        return 0
+
+    jax.lax.fori_loop(0, TP, scatter, 0)
+
+    @pl.when(i == n - 1)
+    def _finish():
+        # apply the pooled negative gradient and emit the loss
+        def s(k, _):
+            nk = sneg_ref[k]
+            emb_out_out[nk, :] = emb_out_out[nk, :] - lr * dneg_ref[k, :]
+            return 0
+
+        jax.lax.fori_loop(0, KP, s, 0)
+        loss_ref[0, 0] = acc_ref[0, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_pairs", "tie_tables", "interpret")
+)
+def fused_sgns_step(
+    emb_in: jnp.ndarray,
+    emb_out: jnp.ndarray,
+    centers: jnp.ndarray,
+    contexts: jnp.ndarray,
+    shared_negs: jnp.ndarray,
+    mask: jnp.ndarray,
+    lr,
+    negative_weight,
+    tile_pairs: int = 256,
+    tie_tables: bool = False,
+    interpret: bool = False,
+):
+    """Run the fused kernel over a micro-batch of P pairs.
+
+    Args:
+      emb_in/emb_out: [V, d] tables (d a multiple of 128; V*d*4B within
+        VMEM).  For O2 pass the same logical table as both (tie_tables=True
+        routes every update through emb_out's buffer).
+      centers/contexts: int32 [P]; shared_negs: int32 [KP]; mask: [P].
+      tile_pairs: pairs per grid step.
+
+    Returns (emb_in', emb_out', loss).  P is padded to tile_pairs with
+    masked no-op pairs.
+    """
+    if tie_tables:
+        raise NotImplementedError(
+            "tied-table (O2) fused kernel lands with the single-table "
+            "variant; use the XLA block path meanwhile"
+        )
+    P = centers.shape[0]
+    TP = tile_pairs
+    KP = shared_negs.shape[0]
+    V, d = emb_in.shape
+    n_tiles = -(-P // TP)
+    pad = n_tiles * TP - P
+    if pad:
+        centers = jnp.pad(centers, (0, pad))
+        contexts = jnp.pad(contexts, (0, pad))
+        mask = jnp.pad(mask, (0, pad))
+    mask2 = mask.astype(jnp.float32).reshape(n_tiles * TP, 1)
+    scal = jnp.stack(
+        [jnp.asarray(lr, jnp.float32), jnp.asarray(negative_weight, jnp.float32)]
+    )
+
+    kernel = functools.partial(
+        _fused_kernel, TP=TP, KP=KP, tie_tables=tie_tables
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            # index maps receive (grid ids..., scalar-prefetch refs...)
+            pl.BlockSpec((TP,), lambda i, _s: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TP,), lambda i, _s: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TP, 1), lambda i, _s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TP, d), jnp.float32),
+            pltpu.VMEM((TP, d), jnp.float32),
+            pltpu.VMEM((KP, d), jnp.float32),
+            pltpu.VMEM((KP, d), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+        ],
+    )
+    new_in, new_out, loss = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((V, d), jnp.float32),
+            jax.ShapeDtypeStruct((V, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        input_output_aliases={5: 0, 6: 1},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        shared_negs.astype(jnp.int32),
+        centers.astype(jnp.int32),
+        contexts.astype(jnp.int32),
+        mask2,
+        scal,
+        emb_in,
+        emb_out,
+    )
+    return new_in, new_out, loss[0, 0]

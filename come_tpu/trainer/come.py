@@ -96,6 +96,22 @@ class ComETrainer:
         self._o2_epoch_jit = jax.jit(self._o2_epoch, donate_argnums=0)
         self._o3_step_jit = jax.jit(self._o3_step, donate_argnums=0)
 
+    def _use_pallas(self, tie_tables: bool) -> bool:
+        """Fused-kernel eligibility: shared negatives, untied tables, and
+        both tables fitting comfortably in VMEM (~6 MB each of 16 MB)."""
+        cfg = self.cfg
+        if cfg.pallas == "never" or tie_tables:
+            return False
+        if cfg.negative_mode != "shared":
+            return False
+        table_bytes = self.graph.num_nodes * cfg.dim * 4
+        fits = table_bytes <= 6 * 1024 * 1024
+        if cfg.pallas == "always":
+            return True
+        import jax
+
+        return fits and jax.default_backend() == "tpu"
+
     # ---------------------------------------------------------------- budget
 
     def _word_budget(self) -> float:
@@ -141,6 +157,7 @@ class ComETrainer:
 
             keys = jax.random.split(key, n_micro)
             nw = cfg.negative / cfg.shared_negatives
+            use_pallas = self._use_pallas(tie_tables)
 
             def micro(carry, xs):
                 emb_in, emb_out = carry
@@ -148,10 +165,21 @@ class ComETrainer:
                 sneg = sample_alias(
                     self.accept, self.alias, k, (cfg.shared_negatives,)
                 )
-                emb_in, emb_out, loss, npairs = sgns_block_sgd_step(
-                    emb_in, emb_out, mc, mx, sneg, mm, lr, nw,
-                    tie_tables=tie_tables,
-                )
+                if use_pallas:
+                    from come_tpu.ops.pallas_sgns import fused_sgns_step
+
+                    emb_in, emb_out, loss = fused_sgns_step(
+                        emb_in, emb_out, mc, mx, sneg, mm, lr, nw,
+                        tile_pairs=cfg.pallas_tile_pairs,
+                        interpret=(cfg.pallas == "always"
+                                   and jax.default_backend() != "tpu"),
+                    )
+                    npairs = jnp.sum(mm)
+                else:
+                    emb_in, emb_out, loss, npairs = sgns_block_sgd_step(
+                        emb_in, emb_out, mc, mx, sneg, mm, lr, nw,
+                        tie_tables=tie_tables,
+                    )
                 return (emb_in, emb_out), (loss, npairs)
 
             (node_emb, ctx_emb), (losses, npairs) = jax.lax.scan(
@@ -321,8 +349,15 @@ class ComETrainer:
         self,
         labels: np.ndarray | None = None,
         log: Callable[[str], None] | None = None,
+        checkpoint_dir: str | None = None,
+        scalar_log=None,
     ) -> list[dict]:
-        """Full alternating optimization (reference main.py loop, §3.1)."""
+        """Full alternating optimization (reference main.py loop, §3.1).
+
+        ``checkpoint_dir``: saves ``state_iter{N}.npz`` after every outer
+        iteration (the reference pickled its Model per iteration, SURVEY.md
+        C10).  ``scalar_log``: optional metrics.ScalarLog sink.
+        """
         cfg = self.cfg
         say = log or (lambda s: None)
         for e in range(cfg.pretrain_epochs):
@@ -346,6 +381,16 @@ class ComETrainer:
                     f"{k}={v:.4f}" for k, v in rec.items() if k != "iter"
                 )
             )
+            if scalar_log is not None:
+                scalar_log.log(it, **{k: v for k, v in rec.items()})
+            if checkpoint_dir:
+                from pathlib import Path
+
+                from come_tpu.iohelpers import save_checkpoint
+
+                cd = Path(checkpoint_dir)
+                cd.mkdir(parents=True, exist_ok=True)
+                save_checkpoint(cd / f"state_iter{it}.npz", self.state)
             self._history.append(rec)
         return self._history
 
