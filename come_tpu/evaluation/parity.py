@@ -1,0 +1,156 @@
+"""Per-iteration gradient parity harness — the BASELINE.json:5 acceptance gate.
+
+Checks, for a fixed batch and identical initial tables, that the framework's
+O1/O2/O3 gradients match the numpy oracle (evaluation/oracle.py) to float
+tolerance.  Runs as a library call or a CLI:
+
+    python -m come_tpu.evaluation.parity --dataset karate --iters 3
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ParityReport:
+    o1_max_err: float
+    o2_max_err: float
+    o3_max_err: float
+    loss_rel_err: float
+    passed: bool
+
+    def __str__(self):
+        s = "PASS" if self.passed else "FAIL"
+        return (
+            f"parity {s}: o1={self.o1_max_err:.2e} o2={self.o2_max_err:.2e} "
+            f"o3={self.o3_max_err:.2e} loss_rel={self.loss_rel_err:.2e}"
+        )
+
+
+def check_gradient_parity(
+    graph,
+    dim: int = 32,
+    num_communities: int = 2,
+    pairs: int = 512,
+    negatives: int = 5,
+    seed: int = 0,
+    atol: float = 5e-4,
+    rtol: float = 1e-3,
+) -> ParityReport:
+    """One iteration of O1/O2/O3 gradient comparison vs the numpy oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from come_tpu.evaluation import oracle
+    from come_tpu.losses.community import community_grad
+    from come_tpu.losses.sgns import sgns_loss_and_grads
+
+    rng = np.random.default_rng(seed)
+    V = graph.num_nodes
+    emb_in = (rng.normal(size=(V, dim)) * 0.3).astype(np.float32)
+    emb_out = (rng.normal(size=(V, dim)) * 0.3).astype(np.float32)
+
+    # O1 batch: random walk-window style pairs
+    c = rng.integers(0, V, pairs).astype(np.int32)
+    x = rng.integers(0, V, pairs).astype(np.int32)
+    negs = rng.integers(0, V, (pairs, negatives)).astype(np.int32)
+    m = np.ones(pairs, bool)
+
+    def dense(contrib):
+        d_phi, d_cpos, d_cneg = [np.asarray(a) for a in contrib]
+        din = np.zeros_like(emb_in)
+        dout = np.zeros_like(emb_out)
+        np.add.at(din, c, d_phi)
+        np.add.at(dout, x, d_cpos)
+        np.add.at(dout, negs.reshape(-1), d_cneg.reshape(-1, dim))
+        return din, dout
+
+    loss, _, contrib = sgns_loss_and_grads(
+        jnp.asarray(emb_in), jnp.asarray(emb_out), jnp.asarray(c),
+        jnp.asarray(x), jnp.asarray(negs), jnp.asarray(m),
+    )
+    din, dout = dense(contrib)
+    oloss, odin, odout = oracle.sgns_batch_grads(emb_in, emb_out, c, x, negs, m)
+    o1_err = max(
+        float(np.abs(din - odin).max()), float(np.abs(dout - odout).max())
+    )
+    loss_rel = abs(float(loss) - oloss) / max(abs(oloss), 1e-9)
+
+    # O2: tied tables on real edges
+    src, dst = graph.arcs()
+    take = rng.choice(len(src), size=min(pairs, len(src)), replace=False)
+    s2, d2 = src[take].astype(np.int32), dst[take].astype(np.int32)
+    n2 = rng.integers(0, V, (len(take), negatives)).astype(np.int32)
+    m2 = np.ones(len(take), bool)
+    loss2, _, contrib2 = sgns_loss_and_grads(
+        jnp.asarray(emb_in), jnp.asarray(emb_in), jnp.asarray(s2),
+        jnp.asarray(d2), jnp.asarray(n2), jnp.asarray(m2),
+    )
+    d_phi, d_cpos, d_cneg = [np.asarray(a) for a in contrib2]
+    dg = np.zeros_like(emb_in)
+    np.add.at(dg, s2, d_phi)
+    np.add.at(dg, d2, d_cpos)
+    np.add.at(dg, n2.reshape(-1), d_cneg.reshape(-1, dim))
+    _, odg = oracle.sgns_batch_grads_tied(emb_in, s2, d2, n2, m2)
+    o2_err = float(np.abs(dg - odg).max())
+
+    # O3: community gradient on a random GMM state
+    K = num_communities
+    pi = rng.random((V, K)).astype(np.float32)
+    pi /= pi.sum(1, keepdims=True)
+    centroid = rng.normal(size=(K, dim)).astype(np.float32)
+    A = rng.normal(size=(K, dim, dim)).astype(np.float32) * 0.1
+    cov = np.einsum("kde,kfe->kdf", A, A) + np.eye(dim, dtype=np.float32)
+    inv_cov = np.linalg.inv(cov)
+    beta = 0.1
+    g3 = np.asarray(
+        community_grad(
+            jnp.asarray(emb_in), jnp.asarray(pi), jnp.asarray(centroid),
+            jnp.asarray(inv_cov), beta,
+        )
+    )
+    og3 = oracle.community_grads(emb_in, pi, centroid, inv_cov, beta)
+    o3_err = float(np.abs(g3 - og3).max())
+
+    scale = max(
+        np.abs(odin).max(), np.abs(odout).max(), np.abs(odg).max(),
+        np.abs(og3).max(), 1e-9,
+    )
+    passed = (
+        o1_err < atol + rtol * float(np.abs(odin).max() + np.abs(odout).max())
+        and o2_err < atol + rtol * float(np.abs(odg).max())
+        and o3_err < atol + rtol * float(np.abs(og3).max())
+        and loss_rel < 1e-3
+    )
+    return ParityReport(o1_err, o2_err, o3_err, loss_rel, passed)
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(description="gradient parity vs numpy oracle")
+    p.add_argument("--dataset", default="karate")
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--dim", type=int, default=32)
+    p.add_argument("--pairs", type=int, default=512)
+    args = p.parse_args(argv)
+
+    from come_tpu.graphs import get_dataset
+
+    ds = get_dataset(args.dataset)
+    ok = True
+    for i in range(args.iters):
+        rep = check_gradient_parity(
+            ds.graph, dim=args.dim, pairs=args.pairs, seed=i,
+            num_communities=ds.num_communities,
+        )
+        print(f"iter {i}: {rep}")
+        ok &= rep.passed
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

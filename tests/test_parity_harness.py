@@ -1,0 +1,13 @@
+"""Parity harness self-test (the BASELINE acceptance gate as a module)."""
+
+from come_tpu.evaluation.parity import check_gradient_parity
+from come_tpu.graphs import get_dataset
+
+
+def test_parity_passes_on_karate():
+    ds = get_dataset("karate")
+    rep = check_gradient_parity(ds.graph, dim=16, pairs=256, seed=0)
+    assert rep.passed, str(rep)
+    assert rep.o1_max_err < 1e-4
+    assert rep.o2_max_err < 1e-4
+    assert rep.o3_max_err < 1e-4
