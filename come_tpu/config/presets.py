@@ -17,6 +17,10 @@ class ComEConfig:
     # model
     dim: int = 128
     num_communities: int = 2
+    # walk corpus source: "device" = fused on-device lax.scan walker;
+    # "host" = C++ multithreaded feeder (come_tpu/native), double-buffered
+    # host->device — for graphs kept in host memory
+    corpus: str = "device"
     # corpus (reference: num_paths=10, path_length=80, window=10)
     walk_length: int = 80
     walks_per_node: int = 10

@@ -143,6 +143,171 @@ def _fused_kernel(
         loss_ref[0, 0] = acc_ref[0, 0]
 
 
+def _fused_tied_kernel(
+    sneg_ref,  # [KP] int32 (SMEM)
+    c_ref,  # [TP] int32 (SMEM)
+    x_ref,  # [TP] int32 (SMEM)
+    mask_ref,  # [TP, 1] f32 (VMEM)
+    scal_ref,  # [2] f32 (SMEM): lr, negative_weight
+    emb_hbm,  # [V, d] (aliased out)
+    emb_out,  # output (the single table)
+    loss_ref,  # [1, 1] f32 (SMEM out)
+    a_ref,  # [TP, d]
+    b_ref,  # [TP, d]
+    cneg_ref,  # [KP, d]
+    dneg_ref,  # [KP, d]
+    acc_ref,  # [1, 1]
+    *,
+    TP: int,
+    KP: int,
+):
+    """O2 variant: both endpoints and the negative pool live in ONE table
+    (reference Node2Vec.train, SURVEY.md C7).  Within a tile, the c-row and
+    x-row updates of each pair are applied sequentially (c then x)."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    lr = scal_ref[0]
+    negw = scal_ref[1]
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[0, 0] = 0.0
+
+        def g(k, _):
+            cneg_ref[k, :] = emb_out[sneg_ref[k], :]
+            return 0
+
+        jax.lax.fori_loop(0, KP, g, 0)
+        dneg_ref[:, :] = jnp.zeros_like(dneg_ref)
+
+    def gather(t, _):
+        a_ref[t, :] = emb_out[c_ref[t], :]
+        b_ref[t, :] = emb_out[x_ref[t], :]
+        return 0
+
+    jax.lax.fori_loop(0, TP, gather, 0)
+
+    phi = a_ref[:, :]
+    cpos = b_ref[:, :]
+    m = mask_ref[:, :]
+
+    spos = jnp.sum(phi * cpos, axis=1, keepdims=True)
+    sneg = jax.lax.dot_general(
+        phi, cneg_ref[:, :],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gpos = (jax.nn.sigmoid(spos) - 1.0) * m
+    gneg = jax.nn.sigmoid(sneg) * (negw * m)
+    acc_ref[0, 0] += -(
+        jnp.sum(m * jax.nn.log_sigmoid(spos))
+        + negw * jnp.sum(m * jax.nn.log_sigmoid(-sneg))
+    )
+    d_phi = gpos * cpos + jnp.dot(
+        gneg, cneg_ref[:, :], preferred_element_type=jnp.float32
+    )
+    d_cpos = gpos * phi
+    dneg_ref[:, :] += jax.lax.dot_general(
+        gneg, phi,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    a_ref[:, :] = d_phi * (-lr)
+    b_ref[:, :] = d_cpos * (-lr)
+
+    def scatter(t, _):
+        ci = c_ref[t]
+        emb_out[ci, :] = emb_out[ci, :] + a_ref[t, :]
+        xi = x_ref[t]
+        emb_out[xi, :] = emb_out[xi, :] + b_ref[t, :]
+        return 0
+
+    jax.lax.fori_loop(0, TP, scatter, 0)
+
+    @pl.when(i == n - 1)
+    def _finish():
+        def s(k, _):
+            nk = sneg_ref[k]
+            emb_out[nk, :] = emb_out[nk, :] - lr * dneg_ref[k, :]
+            return 0
+
+        jax.lax.fori_loop(0, KP, s, 0)
+        loss_ref[0, 0] = acc_ref[0, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_pairs", "interpret")
+)
+def fused_sgns_step_tied(
+    emb: jnp.ndarray,
+    centers: jnp.ndarray,
+    contexts: jnp.ndarray,
+    shared_negs: jnp.ndarray,
+    mask: jnp.ndarray,
+    lr,
+    negative_weight,
+    tile_pairs: int = 256,
+    interpret: bool = False,
+):
+    """Single-table (O2) fused step.  Returns (emb', loss)."""
+    P = centers.shape[0]
+    TP = tile_pairs
+    KP = shared_negs.shape[0]
+    V, d = emb.shape
+    n_tiles = -(-P // TP)
+    pad = n_tiles * TP - P
+    if pad:
+        centers = jnp.pad(centers, (0, pad))
+        contexts = jnp.pad(contexts, (0, pad))
+        mask = jnp.pad(mask, (0, pad))
+    mask2 = mask.astype(jnp.float32).reshape(n_tiles * TP, 1)
+    scal = jnp.stack(
+        [jnp.asarray(lr, jnp.float32), jnp.asarray(negative_weight, jnp.float32)]
+    )
+    kernel = functools.partial(_fused_tied_kernel, TP=TP, KP=KP)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TP,), lambda i, _s: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TP,), lambda i, _s: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TP, 1), lambda i, _s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TP, d), jnp.float32),
+            pltpu.VMEM((TP, d), jnp.float32),
+            pltpu.VMEM((KP, d), jnp.float32),
+            pltpu.VMEM((KP, d), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+        ],
+    )
+    new_emb, loss = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((V, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        input_output_aliases={5: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        shared_negs.astype(jnp.int32),
+        centers.astype(jnp.int32),
+        contexts.astype(jnp.int32),
+        mask2,
+        scal,
+        emb,
+    )
+    return new_emb, loss[0, 0]
+
+
 @functools.partial(
     jax.jit, static_argnames=("tile_pairs", "tie_tables", "interpret")
 )

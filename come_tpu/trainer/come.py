@@ -95,12 +95,14 @@ class ComETrainer:
         self._o1_epoch_jit = jax.jit(self._o1_epoch, donate_argnums=0)
         self._o2_epoch_jit = jax.jit(self._o2_epoch, donate_argnums=0)
         self._o3_step_jit = jax.jit(self._o3_step, donate_argnums=0)
+        self._o1_walks_step_jit = jax.jit(self._o1_walks_step, donate_argnums=0)
+        self._host_feeder = None
 
     def _use_pallas(self, tie_tables: bool) -> bool:
         """Fused-kernel eligibility: shared negatives, untied tables, and
         both tables fitting comfortably in VMEM (~6 MB each of 16 MB)."""
         cfg = self.cfg
-        if cfg.pallas == "never" or tie_tables:
+        if cfg.pallas == "never":
             return False
         if cfg.negative_mode != "shared":
             return False
@@ -166,14 +168,26 @@ class ComETrainer:
                     self.accept, self.alias, k, (cfg.shared_negatives,)
                 )
                 if use_pallas:
-                    from come_tpu.ops.pallas_sgns import fused_sgns_step
-
-                    emb_in, emb_out, loss = fused_sgns_step(
-                        emb_in, emb_out, mc, mx, sneg, mm, lr, nw,
-                        tile_pairs=cfg.pallas_tile_pairs,
-                        interpret=(cfg.pallas == "always"
-                                   and jax.default_backend() != "tpu"),
+                    from come_tpu.ops.pallas_sgns import (
+                        fused_sgns_step,
+                        fused_sgns_step_tied,
                     )
+
+                    interp = (cfg.pallas == "always"
+                              and jax.default_backend() != "tpu")
+                    if tie_tables:
+                        emb_in, loss = fused_sgns_step_tied(
+                            emb_in, mc, mx, sneg, mm, lr, nw,
+                            tile_pairs=cfg.pallas_tile_pairs,
+                            interpret=interp,
+                        )
+                        emb_out = emb_in
+                    else:
+                        emb_in, emb_out, loss = fused_sgns_step(
+                            emb_in, emb_out, mc, mx, sneg, mm, lr, nw,
+                            tile_pairs=cfg.pallas_tile_pairs,
+                            interpret=interp,
+                        )
                     npairs = jnp.sum(mm)
                 else:
                     emb_in, emb_out, loss, npairs = sgns_block_sgd_step(
@@ -245,6 +259,8 @@ class ComETrainer:
     def o1_epoch(self) -> float:
         """One pass of `walks_per_node` walks from every node (SURVEY §3.2)."""
         cfg = self.cfg
+        if cfg.corpus == "host":
+            return self._o1_epoch_host()
         v = self.graph.num_nodes
         B = min(cfg.batch_walks, v * cfg.walks_per_node)
         n_starts = v * cfg.walks_per_node
@@ -256,6 +272,53 @@ class ComETrainer:
         perm = jnp.resize(perm, (S, B))  # wraps the tail batch
         self.state, loss = self._o1_epoch_jit(self.state, perm)
         return float(loss)
+
+    def _o1_epoch_host(self) -> float:
+        """Host-corpus O1 epoch: C++ feeder generates walks on host threads
+        while the device trains the previous batch (reference C3's
+        pool-plus-files pipeline, minus the disk)."""
+        from come_tpu.native import HostWalkFeeder
+
+        cfg = self.cfg
+        v = self.graph.num_nodes
+        B = min(cfg.batch_walks, v)
+        n_batches = math.ceil(v * cfg.walks_per_node / B)
+        if self._host_feeder is None:
+            self._host_feeder = HostWalkFeeder(
+                self.graph, batch=B, length=cfg.walk_length, seed=cfg.seed
+            )
+        total_loss, total_pairs = 0.0, 0.0
+        for _ in range(n_batches):
+            walks = jnp.asarray(next(self._host_feeder))
+            self.state, loss, npairs = self._o1_walks_step_jit(
+                self.state, walks
+            )
+            total_loss += float(loss)
+            total_pairs += float(npairs)
+        return total_loss / max(total_pairs, 1.0)
+
+    def _o1_walks_step(self, state: TrainState, walks: jnp.ndarray):
+        """One O1 macro step from externally provided walks [B, L]."""
+        cfg = self.cfg
+        key, kp, kn = jax.random.split(state.key, 3)
+        lr = _decayed_lr(
+            state.words_seen, self.total_words, cfg.lr, cfg.min_lr
+        )
+        c, x, m = skipgram_pairs(walks, cfg.window, kp, self.keep)
+        negs = None
+        if cfg.negative_mode != "shared":
+            negs = sample_alias(
+                self.accept, self.alias, kn, c.shape + (cfg.negative,)
+            )
+        ne, ce, loss, npairs = self._sgns_microbatched(
+            state.params.node_emb, state.params.ctx_emb, c, x, negs, m, lr,
+            kn, tie_tables=False,
+        )
+        params = state.params.replace(node_emb=ne, ctx_emb=ce)
+        words = state.words_seen + jnp.float32(
+            walks.shape[0] * cfg.walk_length
+        )
+        return TrainState(params=params, key=key, words_seen=words), loss, npairs
 
     # ------------------------------------------------------------- O2 (edges)
 

@@ -74,6 +74,60 @@ def test_fused_kernel_matches_reference(rng, P, TP):
     np.testing.assert_allclose(np.asarray(no), ro, rtol=1e-4, atol=1e-5)
 
 
+def ref_fused_tied(emb, c, x, sneg, m, lr, negw, TP):
+    emb = emb.copy()
+    P = len(c)
+    n_tiles = -(-P // TP)
+    pad = n_tiles * TP - P
+    c = np.pad(c, (0, pad))
+    x = np.pad(x, (0, pad))
+    m = np.pad(m, (0, pad))
+    cneg = emb[sneg].copy()
+    dneg = np.zeros_like(cneg)
+    loss = 0.0
+    for i in range(n_tiles):
+        sl = slice(i * TP, (i + 1) * TP)
+        ct, xt, mt = c[sl], x[sl], m[sl][:, None]
+        phi = emb[ct].copy()
+        cpos = emb[xt].copy()
+        spos = np.sum(phi * cpos, axis=1, keepdims=True)
+        sn = phi @ cneg.T
+        gpos = (_sig(spos) - 1.0) * mt
+        gneg = _sig(sn) * (negw * mt)
+        loss += -(
+            np.sum(mt * np.log(np.maximum(_sig(spos), 1e-30)))
+            + negw * np.sum(mt * np.log(np.maximum(_sig(-sn), 1e-30)))
+        )
+        d_phi = gpos * cpos + gneg @ cneg
+        d_cpos = gpos * phi
+        dneg += gneg.T @ phi
+        for t in range(TP):  # c-row then x-row, sequential
+            emb[ct[t]] -= lr * d_phi[t]
+            emb[xt[t]] -= lr * d_cpos[t]
+    np.add.at(emb, sneg, -lr * dneg)
+    return emb, loss
+
+
+@pytest.mark.parametrize("P,TP", [(300, 128), (128, 64)])
+def test_fused_tied_kernel_matches_reference(rng, P, TP):
+    from come_tpu.ops.pallas_sgns import fused_sgns_step_tied
+
+    V, d, KP = 40, 128, 16
+    emb = rng.normal(size=(V, d)).astype(np.float32) * 0.1
+    c = rng.integers(0, V, P).astype(np.int32)
+    x = rng.integers(0, V, P).astype(np.int32)
+    sneg = rng.integers(0, V, KP).astype(np.int32)
+    m = (rng.random(P) < 0.9).astype(np.float32)
+    lr, negw = 0.05, 5.0 / KP
+    ne, loss = fused_sgns_step_tied(
+        jnp.asarray(emb), jnp.asarray(c), jnp.asarray(x), jnp.asarray(sneg),
+        jnp.asarray(m), lr, negw, tile_pairs=TP, interpret=True,
+    )
+    re_, rloss = ref_fused_tied(emb, c, x, sneg, m, lr, negw, TP)
+    np.testing.assert_allclose(float(loss), rloss, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ne), re_, rtol=1e-4, atol=1e-5)
+
+
 def test_fused_kernel_mask_zero_is_noop(rng):
     V, d, P, KP = 32, 128, 128, 8
     emb_in = rng.normal(size=(V, d)).astype(np.float32) * 0.1
