@@ -136,6 +136,141 @@ def gmm_em_fit(
     )
 
 
+def gmm_em_fit_sharded(
+    x_shard: jnp.ndarray,
+    mask_shard: jnp.ndarray,
+    num_components: int,
+    key: jax.Array,
+    axis: str = "model",
+    n_init: int = 1,
+    max_iter: int = 60,
+    reg_covar: float = 1e-5,
+):
+    """Distributed EM, called INSIDE shard_map with rows sharded on ``axis``.
+
+    ``x_shard`` [Vl, d] is this shard's rows (aligned with the row-sharded
+    embedding table); ``mask_shard`` [Vl] zeroes padded rows.  E-step is
+    local; every M-step moment (nk, means, covariances) and the
+    log-likelihood are psum'd over the axis — the TPU-native replacement for
+    sklearn's single-host EM at any V.  Restarts run sequentially in a scan;
+    the best by log-likelihood wins (same selection rule as the reference's
+    ``n_init``).
+
+    Returns the same dict as :func:`gmm_em_fit` with ``resp`` holding only
+    this shard's rows.
+    """
+    K = num_components
+    X = x_shard.astype(jnp.float32)
+    w = mask_shard.astype(jnp.float32)  # [Vl]
+    d = X.shape[1]
+    n_total = jax.lax.psum(jnp.sum(w), axis)
+
+    def m_step(resp):
+        resp = resp * w[:, None]
+        nk = jax.lax.psum(jnp.sum(resp, axis=0), axis) + 10.0 * jnp.finfo(
+            jnp.float32
+        ).eps
+        means = jax.lax.psum(resp.T @ X, axis) / nk[:, None]
+        diff = X[None, :, :] - means[:, None, :]  # [K, Vl, d]
+        cov = (
+            jax.lax.psum(
+                jnp.einsum("nk,knd,kne->kde", resp, diff, diff), axis
+            )
+            / nk[:, None, None]
+        )
+        cov = cov + reg_covar * jnp.eye(d, dtype=jnp.float32)[None]
+        return means, jax.lax.linalg.cholesky(cov), jnp.log(nk / n_total)
+
+    def e_step(means, chol, log_w):
+        lp = _log_prob(X, means, chol) + log_w[None, :]
+        norm = jax.scipy.special.logsumexp(lp, axis=1, keepdims=True)
+        ll = jax.lax.psum(jnp.sum(norm[:, 0] * w), axis) / n_total
+        return jnp.exp(lp - norm), ll
+
+    def init_resp(k):
+        # shared-random global center choice: every shard samples the same
+        # K global row ids, then contributes its owned rows via psum
+        vl = X.shape[0]
+        m = jax.lax.axis_size(axis)
+        # stratified draw: one center per stride of rows -> always distinct
+        stride = jnp.maximum((vl * m) // K, 1)
+        offs = jax.random.randint(k, (K,), 0, stride)
+        idx = jnp.minimum(
+            jnp.arange(K, dtype=jnp.int32) * stride + offs, vl * m - 1
+        )
+        my = jax.lax.axis_index(axis)
+        local = idx - my * vl
+        ok = (local >= 0) & (local < vl)
+        centers = jnp.where(
+            ok[:, None], X[jnp.clip(local, 0, vl - 1)], 0.0
+        )
+        centers = jax.lax.psum(centers, axis)
+
+        def lloyd(c, _):
+            d2 = (
+                jnp.sum(X * X, 1, keepdims=True)
+                - 2.0 * X @ c.T
+                + jnp.sum(c * c, 1)[None]
+            )
+            assign = jnp.argmin(d2, axis=1)
+            onehot = jax.nn.one_hot(assign, K, dtype=jnp.float32) * w[:, None]
+            counts = jax.lax.psum(jnp.sum(onehot, 0), axis)
+            new = jax.lax.psum(onehot.T @ X, axis) / jnp.maximum(
+                counts, 1.0
+            )[:, None]
+            return jnp.where(counts[:, None] > 0, new, c), None
+
+        centers, _ = jax.lax.scan(lloyd, centers, None, length=8)
+        d2 = (
+            jnp.sum(X * X, 1, keepdims=True)
+            - 2.0 * X @ centers.T
+            + jnp.sum(centers * centers, 1)[None]
+        )
+        return jax.nn.one_hot(jnp.argmin(d2, axis=1), K, dtype=jnp.float32)
+
+    def one_fit(carry, k):
+        means, chol, log_w = m_step(init_resp(k))
+
+        def em(c, _):
+            means, chol, log_w = c
+            resp, _ = e_step(means, chol, log_w)
+            return m_step(resp), None
+
+        (means, chol, log_w), _ = jax.lax.scan(
+            em, (means, chol, log_w), None, length=max_iter
+        )
+        resp, ll = e_step(means, chol, log_w)
+        best_ll, best = carry
+        take = ll > best_ll
+        best = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(take, new, old),
+            (means, chol, log_w, resp),
+            best,
+        )
+        return (jnp.maximum(ll, best_ll), best), None
+
+    keys = jax.random.split(key, n_init)
+    zero = (
+        jnp.zeros((K, d)),
+        jnp.eye(d)[None].repeat(K, 0),
+        jnp.zeros((K,)),
+        jnp.zeros((X.shape[0], K)),
+    )
+    (ll, (means, chol, log_w, resp)), _ = jax.lax.scan(
+        one_fit, (-jnp.inf, zero), keys
+    )
+    eye = jnp.eye(d, dtype=jnp.float32)
+    inv_cov = jax.vmap(lambda L: jax.scipy.linalg.cho_solve((L, True), eye))(chol)
+    return dict(
+        means=means,
+        chol=chol,
+        inv_cov=inv_cov,
+        log_weights=log_w,
+        resp=resp,
+        log_likelihood=ll,
+    )
+
+
 def fit_communities(params, key, n_init: int = 1, max_iter: int = 60,
                     reg_covar: float = 1e-5):
     """Reference ``Community2Vec.fit`` analog: EM on current node_emb, then

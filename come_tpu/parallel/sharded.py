@@ -322,6 +322,42 @@ class ShardedComETrainer(ComETrainer):
             donate_argnums=0,
         )
 
+        def gmm_fit(state, key, mask_shard):
+            # distributed EM: rows sharded like the table, moments psum'd
+            from come_tpu.losses.gmm import gmm_em_fit_sharded
+
+            cfg = self.cfg
+            p = state.params
+            out = gmm_em_fit_sharded(
+                p.node_emb,
+                mask_shard,
+                cfg.num_communities,
+                key,
+                axis="model",
+                n_init=cfg.gmm_n_init,
+                max_iter=cfg.gmm_max_iter,
+                reg_covar=cfg.reg_covar,
+            )
+            pi = out["resp"] * mask_shard[:, None]  # pad rows: no community
+            params = p.replace(
+                centroid=out["means"],
+                chol_cov=out["chol"],
+                inv_cov=out["inv_cov"],
+                pi=pi,
+            )
+            return state.replace(params=params), out["log_likelihood"]
+
+        self._gmm_fit_jit = jax.jit(
+            shard_map(
+                gmm_fit,
+                mesh=mesh,
+                in_specs=(st, P(), P("model")),
+                out_specs=(st, P()),
+                check_vma=False,
+            ),
+            donate_argnums=0,
+        )
+
     # ------------------------------------------------------------ host driver
 
     def o1_epoch(self) -> float:
@@ -360,35 +396,14 @@ class ShardedComETrainer(ComETrainer):
         return float(loss)
 
     def fit_gmm(self) -> float:
-        """EM on the (padded) table: pad rows sit at the uniform init and are
-        excluded by weighting; round-1 implementation gathers the table (it
-        is replicated across 'data' anyway) and runs the batched XLA EM."""
+        """Distributed EM over the row-sharded table (no host gather):
+        E-step local per shard, M-step moments and log-likelihood psum'd
+        over the 'model' axis."""
         self.host_key, k = jax.random.split(self.host_key)
-        p = self.state.params
-        emb = p.node_emb[: self.v_real]
-        from come_tpu.losses.gmm import gmm_em_fit
-
-        out = gmm_em_fit(
-            emb,
-            self.cfg.num_communities,
-            k,
-            n_init=self.cfg.gmm_n_init,
-            max_iter=self.cfg.gmm_max_iter,
-            reg_covar=self.cfg.reg_covar,
-        )
-        pi = out["resp"]
-        if self.v_pad != self.v_real:
-            pi = jnp.pad(pi, ((0, self.v_pad - self.v_real), (0, 0)))
-        lay = self.layout
-        specs = lay.params_specs()
-        p = p.replace(
-            centroid=lay.shard(out["means"], specs.centroid),
-            chol_cov=lay.shard(out["chol"], specs.chol_cov),
-            inv_cov=lay.shard(out["inv_cov"], specs.inv_cov),
-            pi=lay.shard(pi, specs.pi),
-        )
-        self.state = self.state.replace(params=p)
-        return float(out["log_likelihood"])
+        mask = (jnp.arange(self.v_pad) < self.v_real).astype(jnp.float32)
+        mask = self.layout.shard(mask, P("model"))
+        self.state, ll = self._gmm_fit_jit(self.state, k, mask)
+        return float(ll)
 
     def embeddings(self) -> np.ndarray:
         return np.asarray(self.state.params.node_emb[: self.v_real])
