@@ -38,8 +38,9 @@ class ComEConfig:
     # force the kernel (interpret-mode off-TPU — tests only).
     pallas: str = "auto"
     # pairs per fused-kernel tile (sequential on TPU; the effective
-    # micro-batch granularity inside the kernel)
-    pallas_tile_pairs: int = 256
+    # micro-batch granularity inside the kernel).  1024 on hardware —
+    # 1-D s32 operands carry XLA layout T(1024) and blocks must match.
+    pallas_tile_pairs: int = 1024
     # optimization (reference: lr=0.025, linear decay to min_lr)
     lr: float = 0.025
     min_lr: float = 0.0001

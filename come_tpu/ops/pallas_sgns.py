@@ -11,7 +11,8 @@ negative scoring runs on the MXU:
   grid step = one tile of TP pairs (sequential on TPU, so tile t+1 sees
   tile t's updates — closer to the reference's sequential hogwild than the
   XLA micro-batch path):
-    1. gather   phi[TP,d], cpos[TP,d] rows from the VMEM tables
+    1. gather   phi[TP,d], cpos[TP,d] rows from the VMEM tables (and
+                materialize the pair mask from SMEM in the same loop)
     2. scores   pos: rowwise dot (VPU); neg: phi @ Cneg^T (MXU) against a
                 shared pool of KP negative rows staged into scratch once
     3. grads    word2vec SGNS gradients (losses/sgns_block.py math)
@@ -23,6 +24,9 @@ Semantics: pairs update synchronously within a TP-tile and sequentially
 across tiles; the shared-negative rows accumulate their gradient over the
 whole micro-step and apply once at the end (documented divergence from the
 per-pair reference; quality validated end-to-end).
+
+Mosaic layout note: 1-D s32 inputs carry XLA layout T(1024), so index/mask
+operands are blocked at 1024 — the tile size is fixed at TP=1024.
 """
 
 from __future__ import annotations
@@ -34,41 +38,79 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# 1-D s32/f32 operands get XLA layout T(1024); SMEM blocks must match it.
+TILE_PAIRS = 1024
+
+
+def _gather_and_mask(emb_in, emb_out, c_ref, x_ref, mask_ref, a_ref, b_ref,
+                     m_ref, TP):
+    """Stage phi/cpos rows + the f32 mask column into scratch."""
+
+    def g(t, _):
+        a_ref[t, :] = emb_in[c_ref[t], :]
+        b_ref[t, :] = emb_out[x_ref[t], :]
+        m_ref[t, 0] = mask_ref[t].astype(jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, TP, g, 0)
+
+
+def _sgns_tile_math(phi, cpos, m, cneg, negw):
+    """Shared SGNS math on staged rows -> (d_phi, d_cpos, d_cneg, loss)."""
+    spos = jnp.sum(phi * cpos, axis=1, keepdims=True)  # [TP, 1] (VPU)
+    sneg = jax.lax.dot_general(
+        phi, cneg,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TP, KP] (MXU)
+    gpos = (jax.nn.sigmoid(spos) - 1.0) * m
+    gneg = jax.nn.sigmoid(sneg) * (negw * m)
+    loss = -(
+        jnp.sum(m * jax.nn.log_sigmoid(spos))
+        + negw * jnp.sum(m * jax.nn.log_sigmoid(-sneg))
+    )
+    d_phi = gpos * cpos + jnp.dot(
+        gneg, cneg, preferred_element_type=jnp.float32
+    )
+    d_cpos = gpos * phi
+    d_cneg = jax.lax.dot_general(
+        gneg, phi,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return d_phi, d_cpos, d_cneg, loss
+
 
 def _fused_kernel(
-    # scalar-prefetch
-    sneg_ref,  # [KP] int32 (SMEM): shared negative row ids
-    # inputs
-    c_ref,  # [TP] int32 (SMEM): center rows for this tile
-    x_ref,  # [TP] int32 (SMEM): context rows for this tile
-    mask_ref,  # [TP, 1] f32 (VMEM)
-    scal_ref,  # [2] f32 (SMEM): lr, negative_weight
-    emb_in_hbm,  # [V, d] f32 (ANY): input table (aliased out)
-    emb_out_hbm,  # [V, d] f32 (ANY): output table (aliased out)
-    # outputs
-    emb_in_out,
-    emb_out_out,
+    sneg_ref,  # [KP] int32 (scalar prefetch, SMEM)
+    c_ref,  # [TP] int32 (SMEM)
+    x_ref,  # [TP] int32 (SMEM)
+    mask_ref,  # [TP] int32 (SMEM)
+    scal_ref,  # [1, 2] f32 (SMEM): lr, negative_weight
+    emb_in_hbm,
+    emb_out_hbm,
+    emb_in_out,  # [V, d] (VMEM, aliased)
+    emb_out_out,  # [V, d] (VMEM, aliased)
     loss_ref,  # [1, 1] f32 (SMEM out)
-    # scratch
-    a_ref,  # [TP, d] phi rows
-    b_ref,  # [TP, d] cpos rows
-    cneg_ref,  # [KP, d] negative pool rows
-    dneg_ref,  # [KP, d] negative pool grad accumulator
-    acc_ref,  # [1, 1] f32 loss accumulator
+    a_ref,  # [TP, d]
+    b_ref,  # [TP, d]
+    m_ref,  # [TP, 1]
+    cneg_ref,  # [KP, d]
+    dneg_ref,  # [KP, d]
+    acc_ref,  # [1, 1]
     *,
     TP: int,
     KP: int,
-    tie_tables: bool,
 ):
     i = pl.program_id(0)
     n = pl.num_programs(0)
-    lr = scal_ref[0]
-    negw = scal_ref[1]
+    lr = scal_ref[0, 0]
+    negw = scal_ref[0, 1]
 
     @pl.when(i == 0)
     def _init():
         acc_ref[0, 0] = 0.0
-        # stage the shared negative pool into scratch
+
         def g(k, _):
             cneg_ref[k, :] = emb_out_out[sneg_ref[k], :]
             return 0
@@ -76,49 +118,15 @@ def _fused_kernel(
         jax.lax.fori_loop(0, KP, g, 0)
         dneg_ref[:, :] = jnp.zeros_like(dneg_ref)
 
-    # 1. gather phi / cpos rows (row-by-row from VMEM-resident tables)
-    def gather(t, _):
-        a_ref[t, :] = emb_in_out[c_ref[t], :]
-        b_ref[t, :] = emb_out_out[x_ref[t], :]
-        return 0
-
-    jax.lax.fori_loop(0, TP, gather, 0)
-
-    phi = a_ref[:, :]  # [TP, d]
-    cpos = b_ref[:, :]
-    m = mask_ref[:, :]  # [TP, 1]
-
-    # 2. scores
-    spos = jnp.sum(phi * cpos, axis=1, keepdims=True)  # [TP, 1] (VPU)
-    sneg = jax.lax.dot_general(
-        phi,
-        cneg_ref[:, :],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [TP, KP] (MXU), contraction over d avoids an explicit transpose
-
-    # 3. SGNS gradients (descent on -log s(spos) - negw*sum log s(-sneg))
-    gpos = (jax.nn.sigmoid(spos) - 1.0) * m  # [TP, 1]
-    gneg = jax.nn.sigmoid(sneg) * (negw * m)  # [TP, KP]
-
-    acc_ref[0, 0] += -(
-        jnp.sum(m * jax.nn.log_sigmoid(spos))
-        + negw * jnp.sum(m * jax.nn.log_sigmoid(-sneg))
+    _gather_and_mask(
+        emb_in_out, emb_out_out, c_ref, x_ref, mask_ref, a_ref, b_ref,
+        m_ref, TP,
     )
-
-    d_phi = gpos * cpos + jnp.dot(
-        gneg, cneg_ref[:, :], preferred_element_type=jnp.float32
-    )  # [TP, d]
-    d_cpos = gpos * phi
-    # negative-pool gradient accumulates across tiles (applied at the end)
-    dneg_ref[:, :] += jax.lax.dot_general(
-        gneg,
-        phi,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [KP, d]
-
-    # stage updates, then read-modify-write row-by-row (duplicates exact)
+    d_phi, d_cpos, d_cneg, loss = _sgns_tile_math(
+        a_ref[:, :], b_ref[:, :], m_ref[:, :], cneg_ref[:, :], negw
+    )
+    acc_ref[0, 0] += loss
+    dneg_ref[:, :] += d_cneg
     a_ref[:, :] = d_phi * (-lr)
     b_ref[:, :] = d_cpos * (-lr)
 
@@ -133,7 +141,6 @@ def _fused_kernel(
 
     @pl.when(i == n - 1)
     def _finish():
-        # apply the pooled negative gradient and emit the loss
         def s(k, _):
             nk = sneg_ref[k]
             emb_out_out[nk, :] = emb_out_out[nk, :] - lr * dneg_ref[k, :]
@@ -144,30 +151,31 @@ def _fused_kernel(
 
 
 def _fused_tied_kernel(
-    sneg_ref,  # [KP] int32 (SMEM)
-    c_ref,  # [TP] int32 (SMEM)
-    x_ref,  # [TP] int32 (SMEM)
-    mask_ref,  # [TP, 1] f32 (VMEM)
-    scal_ref,  # [2] f32 (SMEM): lr, negative_weight
-    emb_hbm,  # [V, d] (aliased out)
-    emb_out,  # output (the single table)
-    loss_ref,  # [1, 1] f32 (SMEM out)
-    a_ref,  # [TP, d]
-    b_ref,  # [TP, d]
-    cneg_ref,  # [KP, d]
-    dneg_ref,  # [KP, d]
-    acc_ref,  # [1, 1]
+    sneg_ref,
+    c_ref,
+    x_ref,
+    mask_ref,
+    scal_ref,
+    emb_hbm,
+    emb_out,  # single table (VMEM, aliased)
+    loss_ref,
+    a_ref,
+    b_ref,
+    m_ref,
+    cneg_ref,
+    dneg_ref,
+    acc_ref,
     *,
     TP: int,
     KP: int,
 ):
     """O2 variant: both endpoints and the negative pool live in ONE table
-    (reference Node2Vec.train, SURVEY.md C7).  Within a tile, the c-row and
-    x-row updates of each pair are applied sequentially (c then x)."""
+    (reference Node2Vec.train, SURVEY.md C7).  Within a tile, each pair's
+    c-row update applies before its x-row update."""
     i = pl.program_id(0)
     n = pl.num_programs(0)
-    lr = scal_ref[0]
-    negw = scal_ref[1]
+    lr = scal_ref[0, 0]
+    negw = scal_ref[0, 1]
 
     @pl.when(i == 0)
     def _init():
@@ -180,38 +188,14 @@ def _fused_tied_kernel(
         jax.lax.fori_loop(0, KP, g, 0)
         dneg_ref[:, :] = jnp.zeros_like(dneg_ref)
 
-    def gather(t, _):
-        a_ref[t, :] = emb_out[c_ref[t], :]
-        b_ref[t, :] = emb_out[x_ref[t], :]
-        return 0
-
-    jax.lax.fori_loop(0, TP, gather, 0)
-
-    phi = a_ref[:, :]
-    cpos = b_ref[:, :]
-    m = mask_ref[:, :]
-
-    spos = jnp.sum(phi * cpos, axis=1, keepdims=True)
-    sneg = jax.lax.dot_general(
-        phi, cneg_ref[:, :],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    _gather_and_mask(
+        emb_out, emb_out, c_ref, x_ref, mask_ref, a_ref, b_ref, m_ref, TP
     )
-    gpos = (jax.nn.sigmoid(spos) - 1.0) * m
-    gneg = jax.nn.sigmoid(sneg) * (negw * m)
-    acc_ref[0, 0] += -(
-        jnp.sum(m * jax.nn.log_sigmoid(spos))
-        + negw * jnp.sum(m * jax.nn.log_sigmoid(-sneg))
+    d_phi, d_cpos, d_cneg, loss = _sgns_tile_math(
+        a_ref[:, :], b_ref[:, :], m_ref[:, :], cneg_ref[:, :], negw
     )
-    d_phi = gpos * cpos + jnp.dot(
-        gneg, cneg_ref[:, :], preferred_element_type=jnp.float32
-    )
-    d_cpos = gpos * phi
-    dneg_ref[:, :] += jax.lax.dot_general(
-        gneg, phi,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    acc_ref[0, 0] += loss
+    dneg_ref[:, :] += d_cneg
     a_ref[:, :] = d_phi * (-lr)
     b_ref[:, :] = d_cpos * (-lr)
 
@@ -235,77 +219,40 @@ def _fused_tied_kernel(
         loss_ref[0, 0] = acc_ref[0, 0]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("tile_pairs", "interpret")
-)
-def fused_sgns_step_tied(
-    emb: jnp.ndarray,
-    centers: jnp.ndarray,
-    contexts: jnp.ndarray,
-    shared_negs: jnp.ndarray,
-    mask: jnp.ndarray,
-    lr,
-    negative_weight,
-    tile_pairs: int = 256,
-    interpret: bool = False,
-):
-    """Single-table (O2) fused step.  Returns (emb', loss)."""
+def _prep(centers, contexts, mask, lr, negative_weight, TP):
     P = centers.shape[0]
-    TP = tile_pairs
-    KP = shared_negs.shape[0]
-    V, d = emb.shape
     n_tiles = -(-P // TP)
     pad = n_tiles * TP - P
     if pad:
         centers = jnp.pad(centers, (0, pad))
         contexts = jnp.pad(contexts, (0, pad))
         mask = jnp.pad(mask, (0, pad))
-    mask2 = mask.astype(jnp.float32).reshape(n_tiles * TP, 1)
+    maski = mask.astype(jnp.int32)
     scal = jnp.stack(
-        [jnp.asarray(lr, jnp.float32), jnp.asarray(negative_weight, jnp.float32)]
-    )
-    kernel = functools.partial(_fused_tied_kernel, TP=TP, KP=KP)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((TP,), lambda i, _s: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((TP,), lambda i, _s: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((TP, 1), lambda i, _s: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((TP, d), jnp.float32),
-            pltpu.VMEM((TP, d), jnp.float32),
-            pltpu.VMEM((KP, d), jnp.float32),
-            pltpu.VMEM((KP, d), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.float32),
-        ],
-    )
-    new_emb, loss = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((V, d), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        ],
-        input_output_aliases={5: 0},
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(
-        shared_negs.astype(jnp.int32),
-        centers.astype(jnp.int32),
-        contexts.astype(jnp.int32),
-        mask2,
-        scal,
-        emb,
-    )
-    return new_emb, loss[0, 0]
+        [jnp.asarray(lr, jnp.float32),
+         jnp.asarray(negative_weight, jnp.float32)]
+    ).reshape(1, 2)
+    return centers.astype(jnp.int32), contexts.astype(jnp.int32), maski, scal, n_tiles
+
+
+def _common_specs(TP):
+    return [
+        pl.BlockSpec((TP,), lambda i, _s: (i,), memory_space=pltpu.SMEM),
+        pl.BlockSpec((TP,), lambda i, _s: (i,), memory_space=pltpu.SMEM),
+        pl.BlockSpec((TP,), lambda i, _s: (i,), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 2), lambda i, _s: (0, 0), memory_space=pltpu.SMEM),
+    ]
+
+
+def _scratch(TP, KP, d):
+    return [
+        pltpu.VMEM((TP, d), jnp.float32),
+        pltpu.VMEM((TP, d), jnp.float32),
+        pltpu.VMEM((TP, 1), jnp.float32),
+        pltpu.VMEM((KP, d), jnp.float32),
+        pltpu.VMEM((KP, d), jnp.float32),
+        pltpu.SMEM((1, 1), jnp.float32),
+    ]
 
 
 @functools.partial(
@@ -320,7 +267,7 @@ def fused_sgns_step(
     mask: jnp.ndarray,
     lr,
     negative_weight,
-    tile_pairs: int = 256,
+    tile_pairs: int = TILE_PAIRS,
     tie_tables: bool = False,
     interpret: bool = False,
 ):
@@ -328,46 +275,27 @@ def fused_sgns_step(
 
     Args:
       emb_in/emb_out: [V, d] tables (d a multiple of 128; V*d*4B within
-        VMEM).  For O2 pass the same logical table as both (tie_tables=True
-        routes every update through emb_out's buffer).
+        VMEM).  For O2 use :func:`fused_sgns_step_tied`.
       centers/contexts: int32 [P]; shared_negs: int32 [KP]; mask: [P].
-      tile_pairs: pairs per grid step.
+      tile_pairs: pairs per grid step (1024 on hardware — Mosaic layout).
 
     Returns (emb_in', emb_out', loss).  P is padded to tile_pairs with
     masked no-op pairs.
     """
     if tie_tables:
-        raise NotImplementedError(
-            "tied-table (O2) fused kernel lands with the single-table "
-            "variant; use the XLA block path meanwhile"
-        )
-    P = centers.shape[0]
+        raise NotImplementedError("use fused_sgns_step_tied for O2")
     TP = tile_pairs
     KP = shared_negs.shape[0]
     V, d = emb_in.shape
-    n_tiles = -(-P // TP)
-    pad = n_tiles * TP - P
-    if pad:
-        centers = jnp.pad(centers, (0, pad))
-        contexts = jnp.pad(contexts, (0, pad))
-        mask = jnp.pad(mask, (0, pad))
-    mask2 = mask.astype(jnp.float32).reshape(n_tiles * TP, 1)
-    scal = jnp.stack(
-        [jnp.asarray(lr, jnp.float32), jnp.asarray(negative_weight, jnp.float32)]
+    centers, contexts, maski, scal, n_tiles = _prep(
+        centers, contexts, mask, lr, negative_weight, TP
     )
-
-    kernel = functools.partial(
-        _fused_kernel, TP=TP, KP=KP, tie_tables=tie_tables
-    )
+    kernel = functools.partial(_fused_kernel, TP=TP, KP=KP)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[
-            # index maps receive (grid ids..., scalar-prefetch refs...)
-            pl.BlockSpec((TP,), lambda i, _s: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((TP,), lambda i, _s: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((TP, 1), lambda i, _s: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+        in_specs=_common_specs(TP)
+        + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -376,13 +304,7 @@ def fused_sgns_step(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((TP, d), jnp.float32),
-            pltpu.VMEM((TP, d), jnp.float32),
-            pltpu.VMEM((KP, d), jnp.float32),
-            pltpu.VMEM((KP, d), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.float32),
-        ],
+        scratch_shapes=_scratch(TP, KP, d),
     )
     new_in, new_out, loss = pl.pallas_call(
         kernel,
@@ -397,11 +319,63 @@ def fused_sgns_step(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         shared_negs.astype(jnp.int32),
-        centers.astype(jnp.int32),
-        contexts.astype(jnp.int32),
-        mask2,
+        centers,
+        contexts,
+        maski,
         scal,
         emb_in,
         emb_out,
     )
     return new_in, new_out, loss[0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_pairs", "interpret"))
+def fused_sgns_step_tied(
+    emb: jnp.ndarray,
+    centers: jnp.ndarray,
+    contexts: jnp.ndarray,
+    shared_negs: jnp.ndarray,
+    mask: jnp.ndarray,
+    lr,
+    negative_weight,
+    tile_pairs: int = TILE_PAIRS,
+    interpret: bool = False,
+):
+    """Single-table (O2) fused step.  Returns (emb', loss)."""
+    TP = tile_pairs
+    KP = shared_negs.shape[0]
+    V, d = emb.shape
+    centers, contexts, maski, scal, n_tiles = _prep(
+        centers, contexts, mask, lr, negative_weight, TP
+    )
+    kernel = functools.partial(_fused_tied_kernel, TP=TP, KP=KP)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=_common_specs(TP)
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=_scratch(TP, KP, d),
+    )
+    new_emb, loss = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((V, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        input_output_aliases={5: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        shared_negs.astype(jnp.int32),
+        centers,
+        contexts,
+        maski,
+        scal,
+        emb,
+    )
+    return new_emb, loss[0, 0]
