@@ -30,29 +30,19 @@ import jax.numpy as jnp
 from come_tpu.ops.sparse import gather_rows, scatter_add_rows, sddmm_pair_scores
 
 
-def sgns_block_loss_and_grads(
-    emb_in: jnp.ndarray,
-    emb_out: jnp.ndarray,
-    centers: jnp.ndarray,
-    contexts: jnp.ndarray,
-    shared_negs: jnp.ndarray,
+def sgns_block_grads_from_rows(
+    phi: jnp.ndarray,
+    cpos: jnp.ndarray,
+    cneg: jnp.ndarray,
     mask: jnp.ndarray,
     negative_weight: float,
 ):
-    """SGNS with a shared negative pool.
+    """Core block-SGNS math on pre-gathered rows (shared with the sharded
+    path, where gathering goes through collectives).
 
-    Args:
-      centers, contexts: int32 [B].
-      shared_negs: int32 [K'] negative row ids shared by the whole block.
-      mask: [B] pair validity.
-      negative_weight: k / K' — keeps per-pair noise work calibrated.
-
+    phi/cpos [B, d], cneg [K', d], mask [B].
     Returns (loss, n_pairs, (d_phi [B,d], d_cpos [B,d], d_cneg [K',d])).
     """
-    phi = gather_rows(emb_in, centers)  # [B, d]
-    cpos = gather_rows(emb_out, contexts)  # [B, d]
-    cneg = gather_rows(emb_out, shared_negs)  # [K', d]
-
     m = mask.astype(phi.dtype)
     spos = sddmm_pair_scores(phi, cpos)  # [B]
     sneg = jnp.dot(phi, cneg.T, preferred_element_type=jnp.float32)  # [B, K']
@@ -73,6 +63,33 @@ def sgns_block_loss_and_grads(
     d_cpos = gpos[:, None] * phi
     d_cneg = jnp.dot(gneg.T, phi, preferred_element_type=jnp.float32)
     return loss, n_pairs, (d_phi, d_cpos, d_cneg)
+
+
+def sgns_block_loss_and_grads(
+    emb_in: jnp.ndarray,
+    emb_out: jnp.ndarray,
+    centers: jnp.ndarray,
+    contexts: jnp.ndarray,
+    shared_negs: jnp.ndarray,
+    mask: jnp.ndarray,
+    negative_weight: float,
+):
+    """SGNS with a shared negative pool (full-table entry point).
+
+    Args:
+      centers, contexts: int32 [B].
+      shared_negs: int32 [K'] negative row ids shared by the whole block.
+      mask: [B] pair validity.
+      negative_weight: k / K' — keeps per-pair noise work calibrated.
+
+    Returns (loss, n_pairs, (d_phi [B,d], d_cpos [B,d], d_cneg [K',d])).
+    """
+    phi = gather_rows(emb_in, centers)
+    cpos = gather_rows(emb_out, contexts)
+    cneg = gather_rows(emb_out, shared_negs)
+    return sgns_block_grads_from_rows(
+        phi, cpos, cneg, mask, negative_weight
+    )
 
 
 def sgns_block_sgd_step(

@@ -138,7 +138,7 @@ class ShardedComETrainer(ComETrainer):
     # ------------------------------------------------------- sharded kernels
 
     def _sgns_microbatched_sharded(
-        self, node_emb, ctx_emb, c, x, negs, m, lr, tie_tables
+        self, node_emb, ctx_emb, c, x, negs, m, lr, key, tie_tables
     ):
         """Inside shard_map: c/x/negs/m are the LOCAL (data-shard) slices;
         node_emb/ctx_emb are the LOCAL (model-shard) table slices."""
@@ -152,14 +152,20 @@ class ShardedComETrainer(ComETrainer):
 
         c2 = jnp.pad(c.reshape(P_local), (0, pad)).reshape(n_micro, mb)
         x2 = jnp.pad(x.reshape(P_local), (0, pad)).reshape(n_micro, mb)
-        n2 = jnp.pad(negs.reshape(P_local, K), ((0, pad), (0, 0))).reshape(
-            n_micro, mb, K
-        )
         m2 = jnp.pad(
             m.reshape(P_local).astype(jnp.float32), (0, pad)
         ).reshape(n_micro, mb)
 
         dim = node_emb.shape[1]
+
+        if cfg.negative_mode == "shared":
+            return self._shared_micro_scan(
+                node_emb, ctx_emb, c2, x2, m2, key, lr, tie_tables
+            )
+
+        n2 = jnp.pad(negs.reshape(P_local, K), ((0, pad), (0, 0))).reshape(
+            n_micro, mb, K
+        )
 
         def micro(carry, xs):
             emb_in, emb_out = carry
@@ -200,6 +206,58 @@ class ShardedComETrainer(ComETrainer):
         npair = jax.lax.psum(jnp.sum(npairs), "data")
         return node_emb, ctx_emb, loss, npair
 
+    def _shared_micro_scan(
+        self, node_emb, ctx_emb, c2, x2, m2, key, lr, tie_tables
+    ):
+        """Shared-negative (MXU) micro-steps inside shard_map: pool rows are
+        psum-gathered over 'model', scored as dense matmuls, and the pool
+        gradient scatters back through the row owners like any update."""
+        from come_tpu.losses.sgns_block import sgns_block_grads_from_rows
+
+        cfg = self.cfg
+        KP = cfg.shared_negatives
+        nw = cfg.negative / KP
+        n_micro = c2.shape[0]
+        # per-data-shard pools, fresh per micro-step
+        dkey = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        keys = jax.random.split(dkey, n_micro)
+
+        def micro(carry, xs):
+            emb_in, emb_out = carry
+            mc, mx, mm, k = xs
+            pool = sample_alias(self.accept, self.alias, k, (KP,))
+            phi = psum_gather(emb_in, mc)
+            cpos = psum_gather(emb_out, mx)
+            cneg = psum_gather(emb_out, pool)
+            loss, npairs, (d_phi, d_cpos, d_cneg) = (
+                sgns_block_grads_from_rows(phi, cpos, cneg, mm, nw)
+            )
+            if tie_tables:
+                delta = jnp.zeros_like(emb_in)
+                delta = owned_scatter_add(delta, mc, d_phi * (-lr))
+                delta = owned_scatter_add(delta, mx, d_cpos * (-lr))
+                delta = owned_scatter_add(delta, pool, d_cneg * (-lr))
+                delta = jax.lax.psum(delta, "data")
+                emb_in = emb_in + delta
+                emb_out = emb_in
+            else:
+                din = owned_scatter_add(
+                    jnp.zeros_like(emb_in), mc, d_phi * (-lr)
+                )
+                dout = jnp.zeros_like(emb_out)
+                dout = owned_scatter_add(dout, mx, d_cpos * (-lr))
+                dout = owned_scatter_add(dout, pool, d_cneg * (-lr))
+                emb_in = emb_in + jax.lax.psum(din, "data")
+                emb_out = emb_out + jax.lax.psum(dout, "data")
+            return (emb_in, emb_out), (loss, npairs)
+
+        (node_emb, ctx_emb), (losses, npairs) = jax.lax.scan(
+            micro, (node_emb, ctx_emb), (c2, x2, m2, keys)
+        )
+        loss = jax.lax.psum(jnp.sum(losses), "data")
+        npair = jax.lax.psum(jnp.sum(npairs), "data")
+        return node_emb, ctx_emb, loss, npair
+
     def _o1_epoch(self, state: TrainState, start_perm: jnp.ndarray):
         """shard_map body: start_perm [S, B] arrives sliced over 'data'."""
         cfg = self.cfg
@@ -214,11 +272,13 @@ class ShardedComETrainer(ComETrainer):
             lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
             walks = random_walks(self.csr, starts, cfg.walk_length, kw)
             c, x, m = skipgram_pairs(walks, cfg.window, kp, self.keep)
-            negs = sample_alias(
-                self.accept, self.alias, kn, c.shape + (cfg.negative,)
-            )
+            negs = None
+            if cfg.negative_mode != "shared":
+                negs = sample_alias(
+                    self.accept, self.alias, kn, c.shape + (cfg.negative,)
+                )
             ne, ce, loss, npairs = self._sgns_microbatched_sharded(
-                params.node_emb, params.ctx_emb, c, x, negs, m, lr,
+                params.node_emb, params.ctx_emb, c, x, negs, m, lr, kn,
                 tie_tables=False,
             )
             params = params.replace(node_emb=ne, ctx_emb=ce)
@@ -242,9 +302,11 @@ class ShardedComETrainer(ComETrainer):
             key = jax.random.fold_in(key, 7)
             kn, _ = jax.random.split(dkey)
             lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
-            negs = sample_alias(
-                self.accept, self.alias, kn, s.shape + (cfg.negative,)
-            )
+            negs = None
+            if cfg.negative_mode != "shared":
+                negs = sample_alias(
+                    self.accept, self.alias, kn, s.shape + (cfg.negative,)
+                )
             ne, _, loss, npairs = self._sgns_microbatched_sharded(
                 params.node_emb,
                 params.node_emb,
@@ -253,6 +315,7 @@ class ShardedComETrainer(ComETrainer):
                 negs,
                 jnp.ones_like(s, jnp.float32),
                 lr * cfg.alpha,
+                kn,
                 tie_tables=True,
             )
             params = params.replace(node_emb=ne)

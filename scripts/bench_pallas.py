@@ -66,12 +66,25 @@ def bench(name, **overrides):
 
 
 def main():
-    bench("pallas-tp256", pallas="auto", pallas_tile_pairs=256)
-    bench("pallas-tp512", pallas="auto", pallas_tile_pairs=512)
-    bench("pallas-tp1024", pallas="auto", pallas_tile_pairs=1024)
-    bench("xla-block", pallas="never")
-    bench("pallas-tp512-kp512", pallas="auto", pallas_tile_pairs=512,
-          shared_negatives=512)
+    import traceback
+
+    configs = [
+        ("pallas-tp1024", dict(pallas="auto", pallas_tile_pairs=1024)),
+        ("pallas-kp512", dict(pallas="auto", pallas_tile_pairs=1024,
+                              shared_negatives=512)),
+        ("pallas-kp2048", dict(pallas="auto", pallas_tile_pairs=1024,
+                               shared_negatives=2048)),
+        ("xla-block", dict(pallas="never")),
+        ("pallas-bp524288", dict(pallas="auto", pallas_tile_pairs=1024,
+                                 batch_pairs=524288)),
+    ]
+    for name, kw in configs:
+        try:
+            bench(name, **kw)
+        except Exception:
+            print(f"FAILED {name}", flush=True)
+            traceback.print_exc()
+
 
 
 if __name__ == "__main__":

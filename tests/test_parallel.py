@@ -89,6 +89,24 @@ def test_sharded_karate_trains(karate, shape):
     assert hist[-1]["nmi"] > 0.3, hist
 
 
+def test_sharded_shared_negatives_mode(karate):
+    """MXU shared-negative path under the (data, model) mesh."""
+    mesh = make_mesh(data=2, model=4)
+    cfg = get_config("karate").replace(
+        outer_iters=1, pretrain_epochs=2, negative_mode="shared",
+        shared_negatives=32, walks_per_node=4,
+    )
+    t = ShardedComETrainer(karate.graph, cfg, mesh)
+    first = t.o1_epoch()
+    second = t.o1_epoch()
+    assert np.isfinite(first) and second < first
+    hist = t.train(labels=karate.labels)
+    assert np.isfinite(hist[-1]["o2_loss"])
+    assert hist[-1]["nmi"] > 0.3, hist
+    # pad rows still untouched in shared mode
+    assert np.all(np.asarray(t.state.params.node_emb[34:]) == 0)
+
+
 def test_sharded_padding_rows_untouched(karate):
     """With model=4, V=34 pads to 36; pad rows must receive no updates."""
     mesh = make_mesh(data=2, model=4)
