@@ -33,8 +33,12 @@ def main() -> None:
     ds = get_dataset("blogcatalog")
     cfg = get_config("blogcatalog").replace(
         num_communities=ds.num_communities,
-        # throughput config: larger pair micro-batches than the quality
-        # default; V=10312 keeps collisions ~ BlogCatalog-realistic
+        # throughput config: shared-negative (MXU) mode + fused Pallas
+        # kernel when on TPU; quality of this mode is validated by the
+        # e2e NMI/F1 tests (see losses/sgns_block.py)
+        negative_mode="shared",
+        shared_negatives=256,
+        pallas="auto",
         batch_walks=512,
         batch_pairs=131072,
         walks_per_node=2,

@@ -33,6 +33,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int)
     p.add_argument("--save", help="write embeddings (word2vec text) here")
     p.add_argument("--checkpoint-dir", help="save a checkpoint per iteration")
+    p.add_argument("--resume", help="checkpoint .npz to resume from")
+    p.add_argument("--profile-dir", help="write a jax.profiler trace here")
     p.add_argument("--eval-f1", action="store_true",
                    help="also run node-classification F1 at the end")
     p.add_argument("--json", action="store_true", help="JSONL record output")
@@ -62,12 +64,21 @@ def main(argv=None) -> int:
           f"K={cfg.num_communities} d={cfg.dim}")
     t0 = time.time()
     trainer = ComETrainer(ds.graph, cfg)
+    if args.resume:
+        from come_tpu.iohelpers import load_checkpoint
+
+        trainer.state = load_checkpoint(args.resume)
+        print(f"resumed from {args.resume} "
+              f"(words_seen={float(trainer.state.words_seen):.0f})")
     emit = (lambda s: print(json.dumps({"log": s}))) if args.json else print
-    history = trainer.train(
-        labels=ds.single_labels,
-        log=emit,
-        checkpoint_dir=args.checkpoint_dir,
-    )
+    from come_tpu.metrics.profiling import trace
+
+    with trace(args.profile_dir):
+        history = trainer.train(
+            labels=ds.single_labels,
+            log=emit,
+            checkpoint_dir=args.checkpoint_dir,
+        )
     dt = time.time() - t0
     print(f"trained in {dt:.1f}s")
     if history and "nmi" in history[-1]:
