@@ -69,3 +69,17 @@ def node_classification_f1(
         "macro_f1": float(f1_score(y[te], pred, average="macro")),
         "micro_f1": float(f1_score(y[te], pred, average="micro")),
     }
+
+
+def f1_train_ratio_sweep(
+    embeddings: np.ndarray,
+    labels: np.ndarray,
+    ratios=(0.1, 0.3, 0.5, 0.7, 0.9),
+    seed: int = 0,
+) -> dict[float, dict[str, float]]:
+    """The deepwalk/ComE-paper protocol: F1 at multiple labeled fractions."""
+    return {
+        r: node_classification_f1(embeddings, labels, train_ratio=r,
+                                  seed=seed)
+        for r in ratios
+    }

@@ -35,6 +35,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-dir", help="save a checkpoint per iteration")
     p.add_argument("--resume", help="checkpoint .npz to resume from")
     p.add_argument("--profile-dir", help="write a jax.profiler trace here")
+    p.add_argument("--plot", help="write embedding-space + graph PNGs here")
     p.add_argument("--eval-f1", action="store_true",
                    help="also run node-classification F1 at the end")
     p.add_argument("--json", action="store_true", help="JSONL record output")
@@ -95,6 +96,28 @@ def main(argv=None) -> int:
         save_embedding_word2vec(args.save, trainer.embeddings(),
                                 ds.graph.node_names)
         print(f"embeddings -> {args.save}")
+    if args.plot:
+        from pathlib import Path
+
+        import numpy as np
+
+        from come_tpu.evaluation.plots import graph_plot, node_space_plot_2d
+
+        out = Path(args.plot)
+        out.mkdir(parents=True, exist_ok=True)
+        p = trainer.state.params
+        chol = np.asarray(p.chol_cov)
+        covs = np.einsum("kde,kfe->kdf", chol, chol)
+        node_space_plot_2d(
+            trainer.embeddings(), trainer.communities(),
+            np.asarray(p.centroid), covs,
+            path=out / "embedding_space.png",
+            title=f"{ds.name}: embedding space + GMM",
+        )
+        graph_plot(ds.graph, trainer.communities(),
+                   path=out / "graph_communities.png",
+                   title=f"{ds.name}: detected communities")
+        print(f"plots -> {out}")
     return 0
 
 
