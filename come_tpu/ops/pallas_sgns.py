@@ -42,32 +42,43 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_PAIRS = 1024
 
 
-def _gather_and_mask(emb_in, emb_out, c_ref, x_ref, mask_ref, a_ref, b_ref,
-                     m_ref, TP):
-    """Stage phi/cpos rows + the f32 mask column into scratch."""
+def _gather_masked(emb_in, emb_out, c_ref, x_ref, mask_ref, a_ref, b_ref, TP):
+    """Stage phi/cpos rows into scratch; masked pairs get a ZEROED phi row.
+
+    Mosaic forbids scalar stores to VMEM, so the mask can't be materialized
+    as an f32 column.  Instead the mask acts through the math: phi = 0 makes
+    every masked-pair gradient that *leaves* the pair zero (d_cpos = g*phi,
+    d_cneg += g x phi), and the remaining self-updates (d_phi) are masked at
+    scatter time by the same scalar.  The only residue is a CONSTANT loss
+    term ln2 * (1 + negw*KP) per masked pair, corrected by the host wrapper.
+    """
 
     def g(t, _):
-        a_ref[t, :] = emb_in[c_ref[t], :]
+        w = jnp.where(mask_ref[t] != 0, 1.0, 0.0)
+        a_ref[t, :] = emb_in[c_ref[t], :] * w
         b_ref[t, :] = emb_out[x_ref[t], :]
-        m_ref[t, 0] = mask_ref[t].astype(jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, TP, g, 0)
 
 
-def _sgns_tile_math(phi, cpos, m, cneg, negw):
-    """Shared SGNS math on staged rows -> (d_phi, d_cpos, d_cneg, loss)."""
+def _sgns_tile_math(phi, cpos, cneg, negw):
+    """SGNS math on staged rows -> (d_phi, d_cpos, d_cneg, loss).
+
+    Mask handling lives in :func:`_gather_masked` (phi zeroed) + the
+    scatter-time scalar; no mask vector exists in the kernel.
+    """
     spos = jnp.sum(phi * cpos, axis=1, keepdims=True)  # [TP, 1] (VPU)
     sneg = jax.lax.dot_general(
         phi, cneg,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [TP, KP] (MXU)
-    gpos = (jax.nn.sigmoid(spos) - 1.0) * m
-    gneg = jax.nn.sigmoid(sneg) * (negw * m)
+    gpos = jax.nn.sigmoid(spos) - 1.0
+    gneg = jax.nn.sigmoid(sneg) * negw
     loss = -(
-        jnp.sum(m * jax.nn.log_sigmoid(spos))
-        + negw * jnp.sum(m * jax.nn.log_sigmoid(-sneg))
+        jnp.sum(jax.nn.log_sigmoid(spos))
+        + negw * jnp.sum(jax.nn.log_sigmoid(-sneg))
     )
     d_phi = gpos * cpos + jnp.dot(
         gneg, cneg, preferred_element_type=jnp.float32
@@ -94,7 +105,6 @@ def _fused_kernel(
     loss_ref,  # [1, 1] f32 (SMEM out)
     a_ref,  # [TP, d]
     b_ref,  # [TP, d]
-    m_ref,  # [TP, 1]
     cneg_ref,  # [KP, d]
     dneg_ref,  # [KP, d]
     acc_ref,  # [1, 1]
@@ -118,12 +128,11 @@ def _fused_kernel(
         jax.lax.fori_loop(0, KP, g, 0)
         dneg_ref[:, :] = jnp.zeros_like(dneg_ref)
 
-    _gather_and_mask(
-        emb_in_out, emb_out_out, c_ref, x_ref, mask_ref, a_ref, b_ref,
-        m_ref, TP,
+    _gather_masked(
+        emb_in_out, emb_out_out, c_ref, x_ref, mask_ref, a_ref, b_ref, TP
     )
     d_phi, d_cpos, d_cneg, loss = _sgns_tile_math(
-        a_ref[:, :], b_ref[:, :], m_ref[:, :], cneg_ref[:, :], negw
+        a_ref[:, :], b_ref[:, :], cneg_ref[:, :], negw
     )
     acc_ref[0, 0] += loss
     dneg_ref[:, :] += d_cneg
@@ -131,8 +140,11 @@ def _fused_kernel(
     b_ref[:, :] = d_cpos * (-lr)
 
     def scatter(t, _):
+        # d_phi is nonzero even for masked pairs -> gate by the mask scalar;
+        # d_cpos is already zero for them (phi row was zeroed at gather)
+        w = jnp.where(mask_ref[t] != 0, 1.0, 0.0)
         ci = c_ref[t]
-        emb_in_out[ci, :] = emb_in_out[ci, :] + a_ref[t, :]
+        emb_in_out[ci, :] = emb_in_out[ci, :] + a_ref[t, :] * w
         xi = x_ref[t]
         emb_out_out[xi, :] = emb_out_out[xi, :] + b_ref[t, :]
         return 0
@@ -161,7 +173,6 @@ def _fused_tied_kernel(
     loss_ref,
     a_ref,
     b_ref,
-    m_ref,
     cneg_ref,
     dneg_ref,
     acc_ref,
@@ -188,11 +199,11 @@ def _fused_tied_kernel(
         jax.lax.fori_loop(0, KP, g, 0)
         dneg_ref[:, :] = jnp.zeros_like(dneg_ref)
 
-    _gather_and_mask(
-        emb_out, emb_out, c_ref, x_ref, mask_ref, a_ref, b_ref, m_ref, TP
+    _gather_masked(
+        emb_out, emb_out, c_ref, x_ref, mask_ref, a_ref, b_ref, TP
     )
     d_phi, d_cpos, d_cneg, loss = _sgns_tile_math(
-        a_ref[:, :], b_ref[:, :], m_ref[:, :], cneg_ref[:, :], negw
+        a_ref[:, :], b_ref[:, :], cneg_ref[:, :], negw
     )
     acc_ref[0, 0] += loss
     dneg_ref[:, :] += d_cneg
@@ -200,8 +211,9 @@ def _fused_tied_kernel(
     b_ref[:, :] = d_cpos * (-lr)
 
     def scatter(t, _):
+        w = jnp.where(mask_ref[t] != 0, 1.0, 0.0)
         ci = c_ref[t]
-        emb_out[ci, :] = emb_out[ci, :] + a_ref[t, :]
+        emb_out[ci, :] = emb_out[ci, :] + a_ref[t, :] * w
         xi = x_ref[t]
         emb_out[xi, :] = emb_out[xi, :] + b_ref[t, :]
         return 0
@@ -244,15 +256,24 @@ def _common_specs(TP):
     ]
 
 
+_LN2 = 0.6931471805599453
+
+
 def _scratch(TP, KP, d):
     return [
         pltpu.VMEM((TP, d), jnp.float32),
         pltpu.VMEM((TP, d), jnp.float32),
-        pltpu.VMEM((TP, 1), jnp.float32),
         pltpu.VMEM((KP, d), jnp.float32),
         pltpu.VMEM((KP, d), jnp.float32),
         pltpu.SMEM((1, 1), jnp.float32),
     ]
+
+
+def _loss_correction(maski, n_padded, negative_weight, KP):
+    """Masked pairs contribute exactly ln2*(1 + negw*KP) each (phi zeroed ->
+    all scores 0); subtract that constant from the kernel's raw loss."""
+    n_masked = n_padded - jnp.sum(maski).astype(jnp.float32)
+    return _LN2 * (1.0 + negative_weight * KP) * n_masked
 
 
 @functools.partial(
@@ -326,7 +347,8 @@ def fused_sgns_step(
         emb_in,
         emb_out,
     )
-    return new_in, new_out, loss[0, 0]
+    corr = _loss_correction(maski, n_tiles * TP, negative_weight, KP)
+    return new_in, new_out, loss[0, 0] - corr
 
 
 @functools.partial(jax.jit, static_argnames=("tile_pairs", "interpret"))
@@ -378,4 +400,5 @@ def fused_sgns_step_tied(
         scal,
         emb,
     )
-    return new_emb, loss[0, 0]
+    corr = _loss_correction(maski, n_tiles * TP, negative_weight, KP)
+    return new_emb, loss[0, 0] - corr

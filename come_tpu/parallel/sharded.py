@@ -27,18 +27,16 @@ psum'd (distributed EM).
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from come_tpu.config import ComEConfig
 from come_tpu.graphs.csr import CSRGraph
 from come_tpu.losses.community import community_loss, community_sgd_step
-from come_tpu.losses.gmm import fit_communities
 from come_tpu.losses.sgns import sgns_grads_from_rows
 from come_tpu.models import ComEParams
 from come_tpu.parallel.mesh import MeshLayout

@@ -19,7 +19,6 @@ Node2Vec.train`` [R], SURVEY.md C6-C7):
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Callable
 
 import jax

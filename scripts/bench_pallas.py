@@ -23,15 +23,16 @@ def bench(name, **overrides):
     from come_tpu.trainer import ComETrainer
 
     ds = get_dataset("blogcatalog")
-    cfg = get_config("blogcatalog").replace(
+    base = dict(
         num_communities=ds.num_communities,
         walks_per_node=2,
         negative_mode="shared",
         shared_negatives=1024,
         batch_walks=512,
         batch_pairs=131072,
-        **overrides,
     )
+    base.update(overrides)
+    cfg = get_config("blogcatalog").replace(**base)
     t = ComETrainer(ds.graph, cfg)
     t0 = time.perf_counter()
     t.o1_epoch()
