@@ -66,19 +66,76 @@ def bench(name, **overrides):
     del t
 
 
+def bench_walks_only(batch_walks=512):
+    """Time just the walk+pair generation for one epoch's volume."""
+    import jax
+    import jax.numpy as jnp
+
+    from come_tpu.graphs import get_dataset
+    from come_tpu.sampling import random_walks, skipgram_pairs
+
+    ds = get_dataset("blogcatalog")
+    csr = ds.graph.to_device()
+    L, W = 80, 10
+    n_starts = ds.graph.num_nodes * 2
+    S = -(-n_starts // batch_walks)
+
+    def epoch(key, starts):
+        def body(k, st):
+            k1, k2, k3 = jax.random.split(k, 3)
+            walks = random_walks(csr, st, L, k1)
+            c, x, m = skipgram_pairs(walks, W, k2)
+            return k3, jnp.sum(m)
+
+        def scan_body(carry, st):
+            k, acc = carry
+            k, s = body(k, st)
+            return (k, acc + s), None
+
+        (k, total), _ = jax.lax.scan(scan_body, (key, jnp.int32(0)), starts)
+        return total
+
+    starts = jnp.arange(S * batch_walks, dtype=jnp.int32).reshape(
+        S, batch_walks
+    ) % ds.graph.num_nodes
+    f = jax.jit(epoch)
+    t0 = time.perf_counter()
+    total = int(f(jax.random.key(0), starts))
+    compile_s = time.perf_counter() - t0
+    times = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        total = int(f(jax.random.key(i + 1), starts))
+        times.append(time.perf_counter() - t0)
+    print(
+        json.dumps(
+            dict(name="walks+pairs-only", epoch_s=round(min(times), 2),
+                 pairs=total, compile_s=round(compile_s, 1),
+                 rate_mpairs=round(total / min(times) / 1e6, 2))
+        ),
+        flush=True,
+    )
+
+
 def main():
     import traceback
 
     configs = [
-        ("pallas-tp1024", dict(pallas="auto", pallas_tile_pairs=1024)),
-        ("pallas-kp512", dict(pallas="auto", pallas_tile_pairs=1024,
-                              shared_negatives=512)),
-        ("pallas-kp2048", dict(pallas="auto", pallas_tile_pairs=1024,
-                               shared_negatives=2048)),
-        ("xla-block", dict(pallas="never")),
-        ("pallas-bp524288", dict(pallas="auto", pallas_tile_pairs=1024,
-                                 batch_pairs=524288)),
+        ("pallas-kp512-bw2048", dict(pallas="auto", shared_negatives=512,
+                                     batch_walks=2048)),
+        ("pallas-kp512-bw4096", dict(pallas="auto", shared_negatives=512,
+                                     batch_walks=4096)),
+        ("pallas-kp256-bw4096", dict(pallas="auto", shared_negatives=256,
+                                     batch_walks=4096)),
+        ("pallas-kp512-bw4096-bp262144", dict(
+            pallas="auto", shared_negatives=512, batch_walks=4096,
+            batch_pairs=262144)),
     ]
+    try:
+        bench_walks_only()
+    except Exception:
+        print("FAILED walks-only", flush=True)
+        traceback.print_exc()
     for name, kw in configs:
         try:
             bench(name, **kw)
