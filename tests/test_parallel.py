@@ -132,6 +132,19 @@ def test_sharded_o2_and_o3(karate):
     assert np.isfinite(l3)
 
 
+def test_sharded_determinism_same_seed(karate):
+    """Same seed => bitwise-equal tables (SURVEY §5: determinism for free)."""
+    mesh = make_mesh(data=4, model=2)
+    cfg = get_config("karate").replace(outer_iters=0, pretrain_epochs=2)
+    a = ShardedComETrainer(karate.graph, cfg, mesh)
+    a.o1_epoch()
+    a.o2_epoch()
+    b = ShardedComETrainer(karate.graph, cfg, mesh)
+    b.o1_epoch()
+    b.o2_epoch()
+    np.testing.assert_array_equal(a.embeddings(), b.embeddings())
+
+
 def test_sharded_tables_replicas_consistent(karate):
     """After training, the data-axis replicas of each table shard agree."""
     mesh = make_mesh(data=4, model=2)
