@@ -337,7 +337,12 @@ def fused_sgns_step(
         ],
         input_output_aliases={5: 0, 6: 1},
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # raise the scoped-VMEM cap: both tables + scratch exceed the 16MB
+        # default when XLA fails to alias the in/out table buffers
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(
         shared_negs.astype(jnp.int32),
         centers,
@@ -391,7 +396,10 @@ def fused_sgns_step_tied(
         ],
         input_output_aliases={5: 0},
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(
         shared_negs.astype(jnp.int32),
         centers,

@@ -130,6 +130,8 @@ def main():
         ("pallas-kp512-bw4096-bp262144", dict(
             pallas="auto", shared_negatives=512, batch_walks=4096,
             batch_pairs=262144)),
+        ("pallas-kp2048-bw4096", dict(
+            pallas="auto", shared_negatives=2048, batch_walks=4096)),
     ]
     try:
         bench_walks_only()
