@@ -53,13 +53,18 @@ def _gather_masked(emb_in, emb_out, c_ref, x_ref, mask_ref, a_ref, b_ref, TP):
     term ln2 * (1 + negw*KP) per masked pair, corrected by the host wrapper.
     """
 
-    def g(t, _):
-        w = jnp.where(mask_ref[t] != 0, 1.0, 0.0)
-        a_ref[t, :] = emb_in[c_ref[t], :] * w
-        b_ref[t, :] = emb_out[x_ref[t], :]
+    U = 8  # static unroll: the loops are scalar-issue bound
+
+    def g(tu, _):
+        base = tu * U
+        for j in range(U):
+            t = base + j
+            w = jnp.where(mask_ref[t] != 0, 1.0, 0.0)
+            a_ref[t, :] = emb_in[c_ref[t], :] * w
+            b_ref[t, :] = emb_out[x_ref[t], :]
         return 0
 
-    jax.lax.fori_loop(0, TP, g, 0)
+    jax.lax.fori_loop(0, TP // U, g, 0)
 
 
 def _sgns_tile_math(phi, cpos, cneg, negw):
@@ -139,17 +144,22 @@ def _fused_kernel(
     a_ref[:, :] = d_phi * (-lr)
     b_ref[:, :] = d_cpos * (-lr)
 
-    def scatter(t, _):
+    U = 8
+
+    def scatter(tu, _):
         # d_phi is nonzero even for masked pairs -> gate by the mask scalar;
         # d_cpos is already zero for them (phi row was zeroed at gather)
-        w = jnp.where(mask_ref[t] != 0, 1.0, 0.0)
-        ci = c_ref[t]
-        emb_in_out[ci, :] = emb_in_out[ci, :] + a_ref[t, :] * w
-        xi = x_ref[t]
-        emb_out_out[xi, :] = emb_out_out[xi, :] + b_ref[t, :]
+        base = tu * U
+        for j in range(U):
+            t = base + j
+            w = jnp.where(mask_ref[t] != 0, 1.0, 0.0)
+            ci = c_ref[t]
+            emb_in_out[ci, :] = emb_in_out[ci, :] + a_ref[t, :] * w
+            xi = x_ref[t]
+            emb_out_out[xi, :] = emb_out_out[xi, :] + b_ref[t, :]
         return 0
 
-    jax.lax.fori_loop(0, TP, scatter, 0)
+    jax.lax.fori_loop(0, TP // U, scatter, 0)
 
     @pl.when(i == n - 1)
     def _finish():
@@ -210,15 +220,20 @@ def _fused_tied_kernel(
     a_ref[:, :] = d_phi * (-lr)
     b_ref[:, :] = d_cpos * (-lr)
 
-    def scatter(t, _):
-        w = jnp.where(mask_ref[t] != 0, 1.0, 0.0)
-        ci = c_ref[t]
-        emb_out[ci, :] = emb_out[ci, :] + a_ref[t, :] * w
-        xi = x_ref[t]
-        emb_out[xi, :] = emb_out[xi, :] + b_ref[t, :]
+    U = 8
+
+    def scatter(tu, _):
+        base = tu * U
+        for j in range(U):
+            t = base + j
+            w = jnp.where(mask_ref[t] != 0, 1.0, 0.0)
+            ci = c_ref[t]
+            emb_out[ci, :] = emb_out[ci, :] + a_ref[t, :] * w
+            xi = x_ref[t]
+            emb_out[xi, :] = emb_out[xi, :] + b_ref[t, :]
         return 0
 
-    jax.lax.fori_loop(0, TP, scatter, 0)
+    jax.lax.fori_loop(0, TP // U, scatter, 0)
 
     @pl.when(i == n - 1)
     def _finish():
