@@ -59,6 +59,12 @@ class ComEConfig:
     # keeping row collisions per update bounded is the stability knob
     # (SURVEY.md §7 hard part 1).  Rule of thumb: ~V * 20 / (2 + negative).
     batch_pairs: int = 32768
+    # pair compaction budget: ~48% of window-pair slots are masked
+    # (reduced window + range); sorting valid pairs first and truncating to
+    # this fraction of slots halves SGD work per trained pair.  Slots beyond
+    # the budget are dropped (stochastic, ~0 at these batch sizes).
+    # 0 disables compaction.
+    compact_budget: float = 0.58
     # GMM (reference: sklearn GaussianMixture(K, 'full', reg_covar, n_init))
     reg_covar: float = 1e-5
     gmm_n_init: int = 1

@@ -129,7 +129,8 @@ class ComETrainer:
     # ------------------------------------------------------------- O1 (walks)
 
     def _sgns_microbatched(
-        self, node_emb, ctx_emb, c, x, negs, m, lr, key, tie_tables
+        self, node_emb, ctx_emb, c, x, negs, m, lr, key, tie_tables,
+        compact=False,
     ):
         """Apply one macro-batch of pairs as sequential micro-step updates.
 
@@ -143,14 +144,31 @@ class ComETrainer:
         cfg = self.cfg
         P = c.size
         K = cfg.negative
+        c = c.reshape(P)
+        x = x.reshape(P)
+        m = m.reshape(P)
+        if negs is not None:
+            negs = negs.reshape(P, K)
+
+        if compact and cfg.compact_budget and cfg.compact_budget < 1.0:
+            # stable partition: valid pairs first, then truncate to the
+            # budget — halves SGD slots per trained pair (mask rate ~0.52)
+            order = jnp.argsort(~m.astype(bool), stable=True)
+            budget = int(P * cfg.compact_budget)
+            order = order[:budget]
+            c, x, m = c[order], x[order], m[order]
+            if negs is not None:
+                negs = negs[order]
+            P = budget
+
         mb = min(cfg.batch_pairs, P)
         n_micro = math.ceil(P / mb)
         pad = n_micro * mb - P
 
-        c2 = jnp.pad(c.reshape(P), (0, pad)).reshape(n_micro, mb)
-        x2 = jnp.pad(x.reshape(P), (0, pad)).reshape(n_micro, mb)
+        c2 = jnp.pad(c, (0, pad)).reshape(n_micro, mb)
+        x2 = jnp.pad(x, (0, pad)).reshape(n_micro, mb)
         m2 = jnp.pad(
-            m.reshape(P).astype(jnp.float32), (0, pad)
+            m.astype(jnp.float32), (0, pad)
         ).reshape(n_micro, mb)
 
         if cfg.negative_mode == "shared":
@@ -243,7 +261,7 @@ class ComETrainer:
                 )
             ne, ce, loss, npairs = self._sgns_microbatched(
                 params.node_emb, params.ctx_emb, c, x, negs, m, lr, kn,
-                tie_tables=False,
+                tie_tables=False, compact=True,
             )
             params = params.replace(node_emb=ne, ctx_emb=ce)
             words = words + jnp.float32(B * cfg.walk_length)
@@ -311,7 +329,7 @@ class ComETrainer:
             )
         ne, ce, loss, npairs = self._sgns_microbatched(
             state.params.node_emb, state.params.ctx_emb, c, x, negs, m, lr,
-            kn, tie_tables=False,
+            kn, tie_tables=False, compact=True,
         )
         params = state.params.replace(node_emb=ne, ctx_emb=ce)
         words = state.words_seen + jnp.float32(
