@@ -63,8 +63,9 @@ class ComEConfig:
     # (reduced window + range); sorting valid pairs first and truncating to
     # this fraction of slots halves SGD work per trained pair.  Slots beyond
     # the budget are dropped (stochastic, ~0 at these batch sizes).
-    # 0 disables compaction.
-    compact_budget: float = 0.58
+    # 0 disables compaction (default: the argsort costs more than the
+    # masked slots it saves on TPU; kept for host-feeder pipelines).
+    compact_budget: float = 0.0
     # GMM (reference: sklearn GaussianMixture(K, 'full', reg_covar, n_init))
     reg_covar: float = 1e-5
     gmm_n_init: int = 1

@@ -1,0 +1,301 @@
+"""Walk-banded fused SGNS kernel — the MXU formulation of skip-gram.
+
+Key observation: every context of a walk position is another position of the
+SAME walk, so one grid step can stage a group of walks' rows once and score
+ALL of their window pairs as a single dense matmul with a banded mask:
+
+  stage    PHI[S,d] = node_emb[walks], CTX[S,d] = ctx_emb[walks]
+           (S = NW walks x Lp padded positions; 2S row gathers for
+            ~NW*L*(W+1)/1.x trained pairs — ~0.2 row ops per pair, vs 4
+            in the flat-pair kernel)
+  mask     M[S,S] built IN-kernel from iota (walk block, position, range)
+           and the reduced-window draw w ~ U{1..W} from the on-chip PRNG
+  scores   S_pos = PHI @ CTX^T      (banded entries used)        [MXU]
+           S_neg = PHI @ Cneg^T     (shared pool, KP rows)       [MXU]
+  grads    G = (sigmoid(S_pos)-1) * M
+           dPHI = G @ CTX + Gneg @ Cneg;  dCTX = G^T @ PHI       [MXU]
+           per-center negative weight n_t = row-sum of M keeps the noise
+           work per trained pair identical to per-pair counting
+  scatter  2S row read-modify-writes; pool gradient applied at the end
+
+This makes the reference's hot loop #3 (SURVEY.md §3.2) MXU-bound instead of
+row-op bound.  Semantics: one walk-group (NW*L positions) updates
+synchronously; groups are sequential (grid order).  The reduced-window draw
+uses the kernel PRNG (same U{1..W} marginal as gensim's `random % window`);
+the XLA path's draws differ stream-wise — quality is equivalent, asserted
+end-to-end.
+
+VMEM note: S x S f32 score/mask temporaries are processed in column blocks
+of CB so peak live VMEM stays within budget alongside the resident tables.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NWL = 1024  # slots per grid step (1-D s32 operands carry XLA layout T(1024))
+
+
+def _walk_kernel(
+    sneg_ref,  # [KP] i32 (scalar prefetch)
+    seed_ref,  # [1] i32 (scalar prefetch)
+    walks_ref,  # [NWL] i32 (SMEM): this group's walk slots
+    scal_ref,  # [1, 2] f32 (SMEM): lr, negative_weight
+    emb_in_hbm,
+    emb_out_hbm,
+    emb_in_out,  # [V, d] VMEM (aliased)
+    emb_out_out,  # [V, d] VMEM (aliased)
+    stats_ref,  # [1, 2] f32 (SMEM out): loss, npairs
+    phi_ref,  # [NWL, d]
+    ctx_ref,  # [NWL, d]
+    dctx_ref,  # [NWL, d]
+    cneg_ref,  # [KP, d]
+    dneg_ref,  # [KP, d]
+    acc_ref,  # [1, 2] f32 (SMEM)
+    *,
+    KP: int,
+    Lp: int,
+    L: int,
+    W: int,
+    CB: int,
+    USE_PRNG: bool,
+):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    lr = scal_ref[0, 0]
+    negw = scal_ref[0, 1]
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[0, 0] = 0.0
+        acc_ref[0, 1] = 0.0
+
+        def g(k, _):
+            cneg_ref[k, :] = emb_out_out[sneg_ref[k], :]
+            return 0
+
+        jax.lax.fori_loop(0, KP, g, 0)
+        dneg_ref[:, :] = jnp.zeros_like(dneg_ref)
+
+    # ---- stage this group's rows (row ops amortized over ~L*(W+1) pairs)
+    U = 8
+
+    def gather(tu, _):
+        base = tu * U
+        for j in range(U):
+            t = base + j
+            v = walks_ref[t]
+            phi_ref[t, :] = emb_in_out[v, :]
+            ctx_ref[t, :] = emb_out_out[v, :]
+        return 0
+
+    jax.lax.fori_loop(0, NWL // U, gather, 0)
+
+    phi = phi_ref[:, :]  # [S, d]
+    ctx = ctx_ref[:, :]
+
+    # ---- reduced-window draw per center slot: w ~ U{1..W}
+    if USE_PRNG:
+        pltpu.prng_seed(seed_ref[0] + i)
+        wbits = pltpu.bitcast(
+            pltpu.prng_random_bits((NWL, 1)), jnp.uint32
+        )
+        wrow = 1 + (wbits % jnp.uint32(W)).astype(jnp.int32)  # [S, 1]
+    else:
+        # deterministic full window (interpreter tests: no prng lowering
+        # on CPU; also matches gensim with reduced-window disabled)
+        wrow = jnp.full((NWL, 1), W, jnp.int32)
+
+    prow = jax.lax.broadcasted_iota(jnp.int32, (NWL, 1), 0) % Lp
+    brow = jax.lax.broadcasted_iota(jnp.int32, (NWL, 1), 0) // Lp
+    row_ok = prow < L  # real position within the walk
+
+    # ---- banded positive pass, in column blocks
+    dphi = jnp.zeros((NWL, phi.shape[1]), jnp.float32)
+    n_t = jnp.zeros((NWL, 1), jnp.float32)
+    loss_pos = 0.0
+    for cb in range(NWL // CB):
+        ctx_blk = ctx_ref[pl.ds(cb * CB, CB), :]  # [CB, d]
+        pcol = (
+            jax.lax.broadcasted_iota(jnp.int32, (NWL, CB), 1) + cb * CB
+        )
+        bcol = pcol // Lp
+        pcol = pcol % Lp
+        off = pcol - prow  # [S, CB]
+        m = (
+            (bcol == brow)
+            & (off != 0)
+            & (jnp.abs(off) <= wrow)
+            & row_ok
+            & (pcol < L)
+        ).astype(jnp.float32)
+        s_blk = jax.lax.dot_general(
+            phi, ctx_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S, CB]
+        g_blk = (jax.nn.sigmoid(s_blk) - 1.0) * m
+        loss_pos += -jnp.sum(m * jax.nn.log_sigmoid(s_blk))
+        n_t += jnp.sum(m, axis=1, keepdims=True)
+        dphi += jnp.dot(g_blk, ctx_blk, preferred_element_type=jnp.float32)
+        dctx_ref[pl.ds(cb * CB, CB), :] = jax.lax.dot_general(
+            g_blk, phi,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # ---- shared-pool negatives, weighted by each center's pair count
+    sneg = jax.lax.dot_general(
+        phi, cneg_ref[:, :],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [S, KP]
+    gneg = jax.nn.sigmoid(sneg) * (negw * n_t)
+    loss_neg = -negw * jnp.sum(
+        n_t * jax.nn.log_sigmoid(-sneg)
+    )
+    dphi += jnp.dot(gneg, cneg_ref[:, :], preferred_element_type=jnp.float32)
+    dneg_ref[:, :] += jax.lax.dot_general(
+        gneg, phi,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    acc_ref[0, 0] += loss_pos + loss_neg
+    acc_ref[0, 1] += jnp.sum(n_t)
+
+    phi_ref[:, :] = dphi * (-lr)
+    dctx_ref[:, :] = dctx_ref[:, :] * (-lr)
+
+    # ---- scatter (slots with no valid pairs have all-zero updates)
+    def scatter(tu, _):
+        base = tu * U
+        for j in range(U):
+            t = base + j
+            v = walks_ref[t]
+            emb_in_out[v, :] = emb_in_out[v, :] + phi_ref[t, :]
+            emb_out_out[v, :] = emb_out_out[v, :] + dctx_ref[t, :]
+        return 0
+
+    jax.lax.fori_loop(0, NWL // U, scatter, 0)
+
+    @pl.when(i == n - 1)
+    def _finish():
+        def s(k, _):
+            nk = sneg_ref[k]
+            emb_out_out[nk, :] = emb_out_out[nk, :] - lr * dneg_ref[k, :]
+            return 0
+
+        jax.lax.fori_loop(0, KP, s, 0)
+        stats_ref[0, 0] = acc_ref[0, 0]
+        stats_ref[0, 1] = acc_ref[0, 1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "window", "column_block", "interpret", "reduced_window"
+    ),
+)
+def fused_walk_sgns_step(
+    emb_in: jnp.ndarray,
+    emb_out: jnp.ndarray,
+    walks: jnp.ndarray,
+    shared_negs: jnp.ndarray,
+    lr,
+    negative_weight,
+    seed,
+    window: int = 10,
+    column_block: int = 256,
+    interpret: bool = False,
+    reduced_window: bool = True,
+):
+    """One O1 macro step over a batch of walks, fully fused.
+
+    Args:
+      emb_in/emb_out: [V, d] tables (VMEM-resident; d multiple of 128).
+      walks: int32 [B, L].  B is wrapped up to a multiple of NWL/Lp walks
+        (Lp = L padded to 128); window pairs, reduced windows, negative
+        scoring and updates all happen inside the kernel.
+      shared_negs: int32 [KP] pool ids.
+      seed: int32 scalar for the in-kernel reduced-window PRNG.
+
+    Returns (emb_in', emb_out', loss, n_pairs).
+    """
+    B, L = walks.shape
+    Lp = 128
+    if L > Lp:
+        raise ValueError(f"walk_length {L} > {Lp} unsupported by the kernel")
+    NW = NWL // Lp
+    KP = shared_negs.shape[0]
+    V, d = emb_in.shape
+    G = -(-B // NW)
+    if G * NW != B:
+        walks = jnp.resize(walks, (G * NW, L))  # wrap tail with real walks
+    # pad positions to Lp with slot 0 (masked by pcol/prow < L)
+    walks_p = jnp.pad(walks, ((0, 0), (0, Lp - L)))
+    walks_flat = walks_p.reshape(G * NWL).astype(jnp.int32)
+    scal = jnp.stack(
+        [jnp.asarray(lr, jnp.float32),
+         jnp.asarray(negative_weight, jnp.float32)]
+    ).reshape(1, 2)
+
+    kernel = functools.partial(
+        _walk_kernel, KP=KP, Lp=Lp, L=L, W=int(window), CB=column_block,
+        USE_PRNG=reduced_window,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(
+                (NWL,), lambda i, _s, _t: (i,), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 2), lambda i, _s, _t: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NWL, d), jnp.float32),
+            pltpu.VMEM((NWL, d), jnp.float32),
+            pltpu.VMEM((NWL, d), jnp.float32),
+            pltpu.VMEM((KP, d), jnp.float32),
+            pltpu.VMEM((KP, d), jnp.float32),
+            pltpu.SMEM((1, 2), jnp.float32),
+        ],
+    )
+    new_in, new_out, stats = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((V, d), jnp.float32),
+            jax.ShapeDtypeStruct((V, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        ],
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        shared_negs.astype(jnp.int32),
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        walks_flat,
+        scal,
+        emb_in,
+        emb_out,
+    )
+    return new_in, new_out, stats[0, 0], stats[0, 1]

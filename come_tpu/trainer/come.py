@@ -97,6 +97,23 @@ class ComETrainer:
         self._o1_walks_step_jit = jax.jit(self._o1_walks_step, donate_argnums=0)
         self._host_feeder = None
 
+    def _use_walk_kernel(self) -> bool:
+        """Walk-banded fused kernel eligibility for O1 (the fastest path):
+        shared negatives, tables in VMEM, walk length <= 128, no subsample
+        (the in-kernel mask doesn't model occurrence dropping), and a graph
+        large enough that one walk-group's synchronous update keeps per-row
+        collisions bounded (the stability envelope; tiny graphs like Karate
+        fall back to the micro-batched paths)."""
+        cfg = self.cfg
+        if not self._use_pallas(tie_tables=False):
+            return False
+        if cfg.walk_length > 128 or cfg.down_sample > 0:
+            return False
+        nw = 1024 // 128  # slots per group / padded walk length
+        pairs_per_group = nw * cfg.walk_length * (cfg.window + 1) / 2
+        collisions_per_row = 2.0 * pairs_per_group / max(self.graph.num_nodes, 1)
+        return collisions_per_row <= 16.0
+
     def _use_pallas(self, tie_tables: bool) -> bool:
         """Fused-kernel eligibility: shared negatives, untied tables, and
         both tables fitting comfortably in VMEM (~6 MB each of 16 MB)."""
@@ -248,21 +265,50 @@ class ComETrainer:
         cfg = self.cfg
         B = start_perm.shape[1]
 
+        use_walk_kernel = self._use_walk_kernel()
+
         def body(carry, starts):
             params, key, words = carry
             key, kw, kp, kn = jax.random.split(key, 4)
             lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
             walks = random_walks(self.csr, starts, cfg.walk_length, kw)
-            c, x, m = skipgram_pairs(walks, cfg.window, kp, self.keep)
-            negs = None
-            if cfg.negative_mode != "shared":
-                negs = sample_alias(
-                    self.accept, self.alias, kn, c.shape + (cfg.negative,)
+            if use_walk_kernel:
+                from come_tpu.ops.pallas_walk_sgns import fused_walk_sgns_step
+
+                interp = (cfg.pallas == "always"
+                          and jax.default_backend() != "tpu")
+                sneg = sample_alias(
+                    self.accept, self.alias, kn, (cfg.shared_negatives,)
                 )
-            ne, ce, loss, npairs = self._sgns_microbatched(
-                params.node_emb, params.ctx_emb, c, x, negs, m, lr, kn,
-                tie_tables=False, compact=True,
-            )
+                seed = jax.random.randint(
+                    kp, (), 0, 2**31 - 1, dtype=jnp.int32
+                )
+                ne, ce, loss, npairs = fused_walk_sgns_step(
+                    params.node_emb,
+                    params.ctx_emb,
+                    walks,
+                    sneg,
+                    lr,
+                    cfg.negative / cfg.shared_negatives,
+                    seed,
+                    window=cfg.window,
+                    interpret=interp,
+                    # interpreter has no kernel-PRNG lowering: CPU test
+                    # path trains the full window instead
+                    reduced_window=not interp,
+                )
+            else:
+                c, x, m = skipgram_pairs(walks, cfg.window, kp, self.keep)
+                negs = None
+                if cfg.negative_mode != "shared":
+                    negs = sample_alias(
+                        self.accept, self.alias, kn,
+                        c.shape + (cfg.negative,),
+                    )
+                ne, ce, loss, npairs = self._sgns_microbatched(
+                    params.node_emb, params.ctx_emb, c, x, negs, m, lr, kn,
+                    tie_tables=False, compact=True,
+                )
             params = params.replace(node_emb=ne, ctx_emb=ce)
             words = words + jnp.float32(B * cfg.walk_length)
             return (params, key, words), (loss, npairs)
