@@ -122,8 +122,10 @@ class ComETrainer:
             return False
         if cfg.negative_mode != "shared":
             return False
+        # v5e VMEM is 128MB (probed); both tables + scratch must fit under
+        # the kernel's 100MB budget -> up to ~40MB per table (V~80k @ d=128)
         table_bytes = self.graph.num_nodes * cfg.dim * 4
-        fits = table_bytes <= 6 * 1024 * 1024
+        fits = table_bytes <= 40 * 1024 * 1024
         if cfg.pallas == "always":
             return True
         import jax

@@ -120,18 +120,17 @@ def bench_walks_only(batch_walks=512):
 def main():
     import traceback
 
+    # pallas='auto' now routes O1 through the walk-banded kernel
     configs = [
-        ("pallas-kp512-bw2048", dict(pallas="auto", shared_negatives=512,
-                                     batch_walks=2048)),
-        ("pallas-kp512-bw4096", dict(pallas="auto", shared_negatives=512,
-                                     batch_walks=4096)),
-        ("pallas-kp256-bw4096", dict(pallas="auto", shared_negatives=256,
-                                     batch_walks=4096)),
-        ("pallas-kp512-bw4096-bp262144", dict(
-            pallas="auto", shared_negatives=512, batch_walks=4096,
-            batch_pairs=262144)),
-        ("pallas-kp2048-bw4096", dict(
-            pallas="auto", shared_negatives=2048, batch_walks=4096)),
+        ("walk-kp512-bw512", dict(pallas="auto", shared_negatives=512,
+                                  batch_walks=512)),
+        ("walk-kp512-bw2048", dict(pallas="auto", shared_negatives=512,
+                                   batch_walks=2048)),
+        ("walk-kp1024-bw2048", dict(pallas="auto", shared_negatives=1024,
+                                    batch_walks=2048)),
+        ("walk-kp512-bw8192", dict(pallas="auto", shared_negatives=512,
+                                   batch_walks=8192)),
+        ("xla-block-control", dict(pallas="never")),
     ]
     try:
         bench_walks_only()
