@@ -33,13 +33,14 @@ def main() -> None:
     ds = get_dataset("blogcatalog")
     cfg = get_config("blogcatalog").replace(
         num_communities=ds.num_communities,
-        # throughput config: shared-negative (MXU) mode + fused Pallas
-        # kernel when on TPU; quality of this mode is validated by the
-        # e2e NMI/F1 tests (see losses/sgns_block.py)
+        # throughput config: walk-banded fused kernel (MXU-formulated
+        # skip-gram, ops/pallas_walk_sgns.py) with a shared negative pool;
+        # quality of this path is validated end-to-end (NMI/F1 tests +
+        # the full-loop quality run in docs/PERF.md)
         negative_mode="shared",
-        shared_negatives=256,
+        shared_negatives=512,
         pallas="auto",
-        batch_walks=512,
+        batch_walks=2048,
         batch_pairs=131072,
         walks_per_node=2,
     )

@@ -100,15 +100,31 @@ PRESETS: dict[str, ComEConfig] = {
         reg_covar=0.1,
         o3_grad_clip=1.0,
     ),
-    # config 2/3: BlogCatalog O1+O2(+O3), d=128, k=5, K=39
-    "blogcatalog": ComEConfig(num_communities=39, gmm_n_init=2),
+    # config 2/3: BlogCatalog O1+O2(+O3), d=128, k=5, K=39.
+    # Production presets default to the fast path (shared negatives +
+    # fused kernels — quality validated end-to-end, see docs/PERF.md);
+    # set negative_mode='per_pair' for strict reference semantics.
+    "blogcatalog": ComEConfig(
+        num_communities=39, gmm_n_init=2,
+        negative_mode="shared", shared_negatives=512,
+    ),
     # config 4: Wikipedia / DBLP eval sweep
-    "wikipedia": ComEConfig(num_communities=40, gmm_n_init=2),
-    "dblp": ComEConfig(num_communities=5, gmm_n_init=2),
+    "wikipedia": ComEConfig(
+        num_communities=40, gmm_n_init=2,
+        negative_mode="shared", shared_negatives=512,
+    ),
+    "dblp": ComEConfig(
+        num_communities=5, gmm_n_init=2,
+        negative_mode="shared", shared_negatives=512,
+    ),
     # config 5: Flickr / synthetic 10M-edge multi-host
-    "flickr": ComEConfig(num_communities=195, batch_walks=512),
+    "flickr": ComEConfig(
+        num_communities=195, batch_walks=512,
+        negative_mode="shared", shared_negatives=1024,
+    ),
     "synthetic-10m": ComEConfig(
-        num_communities=64, batch_walks=1024, batch_edges=262144
+        num_communities=64, batch_walks=1024, batch_edges=262144,
+        negative_mode="shared", shared_negatives=2048,
     ),
 }
 
