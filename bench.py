@@ -40,6 +40,8 @@ def main() -> None:
         negative_mode="shared",
         shared_negatives=512,
         pallas="auto",
+        walk_kernel_bf16=True,
+        walk_pool_refresh=8,
         batch_walks=2048,
         batch_pairs=131072,
         walks_per_node=2,

@@ -16,7 +16,10 @@ ALL of their window pairs as a single dense matmul with a banded mask:
            dPHI = G @ CTX + Gneg @ Cneg;  dCTX = G^T @ PHI       [MXU]
            per-center negative weight n_t = row-sum of M keeps the noise
            work per trained pair identical to per-pair counting
-  scatter  2S row read-modify-writes; pool gradient applied at the end
+  scatter  2S row read-modify-writes; each group stages a FRESH negative
+           pool and applies its pool gradient at its own group boundary
+           (cross-group accumulation of the pool update is unstable at
+           large walk batches)
 
 This makes the reference's hot loop #3 (SURVEY.md §3.2) MXU-bound instead of
 row-op bound.  Semantics: one walk-group (NW*L positions) updates
@@ -42,9 +45,9 @@ NWL = 1024  # slots per grid step (1-D s32 operands carry XLA layout T(1024))
 
 
 def _walk_kernel(
-    sneg_ref,  # [KP] i32 (scalar prefetch)
     seed_ref,  # [1] i32 (scalar prefetch)
     walks_ref,  # [NWL] i32 (SMEM): this group's walk slots
+    sneg_ref,  # [KP] i32 (SMEM): this group's negative pool
     scal_ref,  # [1, 2] f32 (SMEM): lr, negative_weight
     emb_in_hbm,
     emb_out_hbm,
@@ -64,7 +67,10 @@ def _walk_kernel(
     W: int,
     CB: int,
     USE_PRNG: bool,
+    MXU_BF16: bool,
+    R: int,
 ):
+    mxu_t = jnp.bfloat16 if MXU_BF16 else jnp.float32
     i = pl.program_id(0)
     n = pl.num_programs(0)
     lr = scal_ref[0, 0]
@@ -75,6 +81,13 @@ def _walk_kernel(
         acc_ref[0, 0] = 0.0
         acc_ref[0, 1] = 0.0
 
+    # stage a fresh pool every R groups; its accumulated gradient is
+    # applied at the R-block boundary.  Unbounded cross-group accumulation
+    # of the pool update is what used to blow up ctx rows at large walk
+    # batches; R bounds both the staleness and the accumulated magnitude
+    # while amortizing the 2*KP staging row-ops over R groups.
+    @pl.when(i % R == 0)
+    def _stage_pool():
         def g(k, _):
             cneg_ref[k, :] = emb_out_out[sneg_ref[k], :]
             return 0
@@ -98,6 +111,10 @@ def _walk_kernel(
 
     phi = phi_ref[:, :]  # [S, d]
     ctx = ctx_ref[:, :]
+    # MXU inputs in bf16 when enabled (4x MXU rate on v5e); all matmul
+    # accumulation stays f32 via preferred_element_type, and the master
+    # tables / staged rows / applied updates remain f32 throughout.
+    phi_m = phi.astype(mxu_t)
 
     # ---- reduced-window draw per center slot: w ~ U{1..W}
     if USE_PRNG:
@@ -121,6 +138,7 @@ def _walk_kernel(
     loss_pos = 0.0
     for cb in range(NWL // CB):
         ctx_blk = ctx_ref[pl.ds(cb * CB, CB), :]  # [CB, d]
+        ctx_blk_m = ctx_blk.astype(mxu_t)
         pcol = (
             jax.lax.broadcasted_iota(jnp.int32, (NWL, CB), 1) + cb * CB
         )
@@ -135,23 +153,27 @@ def _walk_kernel(
             & (pcol < L)
         ).astype(jnp.float32)
         s_blk = jax.lax.dot_general(
-            phi, ctx_blk,
+            phi_m, ctx_blk_m,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [S, CB]
         g_blk = (jax.nn.sigmoid(s_blk) - 1.0) * m
         loss_pos += -jnp.sum(m * jax.nn.log_sigmoid(s_blk))
         n_t += jnp.sum(m, axis=1, keepdims=True)
-        dphi += jnp.dot(g_blk, ctx_blk, preferred_element_type=jnp.float32)
+        g_blk_m = g_blk.astype(mxu_t)
+        dphi += jnp.dot(
+            g_blk_m, ctx_blk_m, preferred_element_type=jnp.float32
+        )
         dctx_ref[pl.ds(cb * CB, CB), :] = jax.lax.dot_general(
-            g_blk, phi,
+            g_blk_m, phi_m,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
     # ---- shared-pool negatives, weighted by each center's pair count
+    cneg_m = cneg_ref[:, :].astype(mxu_t)
     sneg = jax.lax.dot_general(
-        phi, cneg_ref[:, :],
+        phi_m, cneg_m,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [S, KP]
@@ -159,9 +181,10 @@ def _walk_kernel(
     loss_neg = -negw * jnp.sum(
         n_t * jax.nn.log_sigmoid(-sneg)
     )
-    dphi += jnp.dot(gneg, cneg_ref[:, :], preferred_element_type=jnp.float32)
+    gneg_m = gneg.astype(mxu_t)
+    dphi += jnp.dot(gneg_m, cneg_m, preferred_element_type=jnp.float32)
     dneg_ref[:, :] += jax.lax.dot_general(
-        gneg, phi,
+        gneg_m, phi_m,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -184,14 +207,19 @@ def _walk_kernel(
 
     jax.lax.fori_loop(0, NWL // U, scatter, 0)
 
-    @pl.when(i == n - 1)
-    def _finish():
+    # ---- apply the pool gradient at the R-block boundary (RMW so
+    # walk-scatter updates to pool rows within the block are preserved)
+    @pl.when((i % R == R - 1) | (i == n - 1))
+    def _apply_pool():
         def s(k, _):
             nk = sneg_ref[k]
             emb_out_out[nk, :] = emb_out_out[nk, :] - lr * dneg_ref[k, :]
             return 0
 
         jax.lax.fori_loop(0, KP, s, 0)
+
+    @pl.when(i == n - 1)
+    def _finish():
         stats_ref[0, 0] = acc_ref[0, 0]
         stats_ref[0, 1] = acc_ref[0, 1]
 
@@ -199,7 +227,8 @@ def _walk_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "window", "column_block", "interpret", "reduced_window"
+        "window", "column_block", "interpret", "reduced_window", "mxu_bf16",
+        "pool_refresh",
     ),
 )
 def fused_walk_sgns_step(
@@ -214,6 +243,8 @@ def fused_walk_sgns_step(
     column_block: int = 256,
     interpret: bool = False,
     reduced_window: bool = True,
+    mxu_bf16: bool = False,
+    pool_refresh: int = 1,
 ):
     """One O1 macro step over a batch of walks, fully fused.
 
@@ -222,8 +253,13 @@ def fused_walk_sgns_step(
       walks: int32 [B, L].  B is wrapped up to a multiple of NWL/Lp walks
         (Lp = L padded to 128); window pairs, reduced windows, negative
         scoring and updates all happen inside the kernel.
-      shared_negs: int32 [KP] pool ids.
+      shared_negs: int32 [KP] (one pool for every group) or
+        [ceil(G / pool_refresh), KP] (a fresh pool per R-group block).
+        The pool gradient is applied at every R-block boundary.
       seed: int32 scalar for the in-kernel reduced-window PRNG.
+      pool_refresh: groups per negative pool (R).  Bounds the staleness
+        and accumulated magnitude of the pool update while amortizing the
+        2*KP staging row-ops over R groups.
 
     Returns (emb_in', emb_out', loss, n_pairs).
     """
@@ -232,7 +268,7 @@ def fused_walk_sgns_step(
     if L > Lp:
         raise ValueError(f"walk_length {L} > {Lp} unsupported by the kernel")
     NW = NWL // Lp
-    KP = shared_negs.shape[0]
+    KP = shared_negs.shape[-1]
     V, d = emb_in.shape
     G = -(-B // NW)
     if G * NW != B:
@@ -240,6 +276,22 @@ def fused_walk_sgns_step(
     # pad positions to Lp with slot 0 (masked by pcol/prow < L)
     walks_p = jnp.pad(walks, ((0, 0), (0, Lp - L)))
     walks_flat = walks_p.reshape(G * NWL).astype(jnp.int32)
+    R = int(pool_refresh)
+    n_pools = -(-G // R)
+    if shared_negs.ndim == 1:
+        sneg_g = jnp.broadcast_to(shared_negs, (n_pools, KP))
+    else:
+        if shared_negs.shape[0] != n_pools:
+            raise ValueError(
+                f"per-block pools: got {shared_negs.shape[0]} pools for "
+                f"{G} groups at pool_refresh={R} (need {n_pools})"
+            )
+        sneg_g = shared_negs
+    # 1-D s32 operands carry XLA layout T(1024): pad each group's pool to
+    # a 1024-id stride so the per-group block aligns (kernel reads [:KP])
+    KPp = -(-KP // 1024) * 1024
+    if KPp != KP:
+        sneg_g = jnp.pad(sneg_g, ((0, 0), (0, KPp - KP)))
     scal = jnp.stack(
         [jnp.asarray(lr, jnp.float32),
          jnp.asarray(negative_weight, jnp.float32)]
@@ -247,17 +299,20 @@ def fused_walk_sgns_step(
 
     kernel = functools.partial(
         _walk_kernel, KP=KP, Lp=Lp, L=L, W=int(window), CB=column_block,
-        USE_PRNG=reduced_window,
+        USE_PRNG=reduced_window, MXU_BF16=mxu_bf16, R=R,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(G,),
         in_specs=[
             pl.BlockSpec(
-                (NWL,), lambda i, _s, _t: (i,), memory_space=pltpu.SMEM
+                (NWL,), lambda i, _s: (i,), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, 2), lambda i, _s, _t: (0, 0), memory_space=pltpu.SMEM
+                (KPp,), lambda i, _s: (i // R,), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 2), lambda i, _s: (0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -291,9 +346,9 @@ def fused_walk_sgns_step(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(
-        shared_negs.astype(jnp.int32),
         jnp.asarray(seed, jnp.int32).reshape(1),
         walks_flat,
+        sneg_g.astype(jnp.int32).reshape(n_pools * KPp),
         scal,
         emb_in,
         emb_out,

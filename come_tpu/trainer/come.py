@@ -275,12 +275,18 @@ class ComETrainer:
             lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
             walks = random_walks(self.csr, starts, cfg.walk_length, kw)
             if use_walk_kernel:
-                from come_tpu.ops.pallas_walk_sgns import fused_walk_sgns_step
+                from come_tpu.ops.pallas_walk_sgns import (
+                    NWL,
+                    fused_walk_sgns_step,
+                )
 
                 interp = (cfg.pallas == "always"
                           and jax.default_backend() != "tpu")
+                n_groups = -(-B // (NWL // 128))
+                n_pools = -(-n_groups // cfg.walk_pool_refresh)
                 sneg = sample_alias(
-                    self.accept, self.alias, kn, (cfg.shared_negatives,)
+                    self.accept, self.alias, kn,
+                    (n_pools, cfg.shared_negatives),
                 )
                 seed = jax.random.randint(
                     kp, (), 0, 2**31 - 1, dtype=jnp.int32
@@ -298,6 +304,8 @@ class ComETrainer:
                     # interpreter has no kernel-PRNG lowering: CPU test
                     # path trains the full window instead
                     reduced_window=not interp,
+                    mxu_bf16=cfg.walk_kernel_bf16,
+                    pool_refresh=cfg.walk_pool_refresh,
                 )
             else:
                 c, x, m = skipgram_pairs(walks, cfg.window, kp, self.keep)

@@ -97,14 +97,13 @@ def test_walk_kernel_multi_group_sequential(rng):
         jnp.asarray(sneg), lr, negw, seed=0, window=3,
         interpret=True, reduced_window=False,
     )
-    # reference: run the two groups one after the other; pool staged ONCE
-    # at the start and applied ONCE at the end, accumulating over groups
+    # reference: run the two groups one after the other; each group stages
+    # the pool FRESH from the current table and applies its pool gradient
+    # at its own group boundary (the kernel's per-group semantics)
     e_in, e_out = emb_in.copy(), emb_out.copy()
-    cneg0 = e_out[sneg].copy()
-    total_loss = 0.0
-    dneg_total = np.zeros((KP, d), np.float32)
 
     def one_group(e_in, e_out, wk):
+        cneg0 = e_out[sneg].copy()
         B, L = wk.shape
         Lp = 128
         S = B * Lp
@@ -136,11 +135,132 @@ def test_walk_kernel_multi_group_sequential(rng):
         for t in range(S):
             e_in[slots[t]] -= lr * dphi[t]
             e_out[slots[t]] -= lr * dctx[t]
+        np.add.at(e_out, sneg, -lr * dneg)
+        return loss
+
+    l0 = one_group(e_in, e_out, walks[:8])
+    l1 = one_group(e_in, e_out, walks[8:])
+    np.testing.assert_allclose(float(loss), l0 + l1, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ni), e_in, rtol=1e-3, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(no), e_out, rtol=1e-3, atol=3e-5)
+
+
+def test_walk_kernel_per_group_pools(rng):
+    """[G, KP] pools: each group must use (and update through) its own."""
+    V, d, KP = 50, 128, 8
+    emb_in = rng.normal(size=(V, d)).astype(np.float32) * 0.1
+    emb_out = rng.normal(size=(V, d)).astype(np.float32) * 0.1
+    walks = rng.integers(0, V, (16, 24)).astype(np.int32)  # 2 groups
+    sneg = rng.integers(0, V, (2, KP)).astype(np.int32)
+    lr, negw = 0.05, 5.0 / KP
+
+    ni, no, loss, npairs = fused_walk_sgns_step(
+        jnp.asarray(emb_in), jnp.asarray(emb_out), jnp.asarray(walks),
+        jnp.asarray(sneg), lr, negw, seed=0, window=3,
+        interpret=True, reduced_window=False,
+    )
+    e_in, e_out = emb_in.copy(), emb_out.copy()
+    l0 = 0.0
+    for gi in range(2):
+        ei, eo, lg, _ = ref_walk_group(
+            e_in, e_out, walks[8 * gi : 8 * gi + 8], sneg[gi], lr, negw, 3
+        )
+        e_in, e_out, l0 = ei, eo, l0 + lg
+    np.testing.assert_allclose(float(loss), l0, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ni), e_in, rtol=1e-3, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(no), e_out, rtol=1e-3, atol=3e-5)
+
+
+def test_walk_kernel_bf16_close_to_f32(rng):
+    """bf16 MXU scoring: same semantics, looser numerics."""
+    V, d, KP = 60, 128, 16
+    emb_in = rng.normal(size=(V, d)).astype(np.float32) * 0.1
+    emb_out = rng.normal(size=(V, d)).astype(np.float32) * 0.1
+    walks = rng.integers(0, V, (8, 40)).astype(np.int32)
+    sneg = rng.integers(0, V, KP).astype(np.int32)
+    lr, negw = 0.05, 5.0 / KP
+
+    f32 = fused_walk_sgns_step(
+        jnp.asarray(emb_in), jnp.asarray(emb_out), jnp.asarray(walks),
+        jnp.asarray(sneg), lr, negw, seed=0, window=4,
+        interpret=True, reduced_window=False, mxu_bf16=False,
+    )
+    b16 = fused_walk_sgns_step(
+        jnp.asarray(emb_in), jnp.asarray(emb_out), jnp.asarray(walks),
+        jnp.asarray(sneg), lr, negw, seed=0, window=4,
+        interpret=True, reduced_window=False, mxu_bf16=True,
+    )
+    # must actually differ (flag reaches the kernel) ...
+    assert float(jnp.abs(f32[0] - b16[0]).max()) > 0.0
+    # ... but only at bf16 rounding scale
+    np.testing.assert_allclose(
+        np.asarray(b16[0]), np.asarray(f32[0]), rtol=0.05, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(b16[1]), np.asarray(f32[1]), rtol=0.05, atol=2e-3
+    )
+
+
+def test_walk_kernel_pool_refresh_blocks(rng):
+    """R=2: pool staged per 2-group block, gradient applied at block end."""
+    V, d, KP = 50, 128, 8
+    emb_in = rng.normal(size=(V, d)).astype(np.float32) * 0.1
+    emb_out = rng.normal(size=(V, d)).astype(np.float32) * 0.1
+    walks = rng.integers(0, V, (32, 24)).astype(np.int32)  # 4 groups
+    sneg = rng.integers(0, V, (2, KP)).astype(np.int32)  # 2 pools
+    lr, negw = 0.05, 5.0 / KP
+    W, Lp = 3, 128
+
+    ni, no, loss, npairs = fused_walk_sgns_step(
+        jnp.asarray(emb_in), jnp.asarray(emb_out), jnp.asarray(walks),
+        jnp.asarray(sneg), lr, negw, seed=0, window=W,
+        interpret=True, reduced_window=False, pool_refresh=2,
+    )
+
+    def group_grads(e_in, e_out, wk, cneg0):
+        B, L = wk.shape
+        S = B * Lp
+        slots = np.zeros((B, Lp), np.int32)
+        slots[:, :L] = wk
+        slots = slots.reshape(S)
+        phi = e_in[slots].copy()
+        ctx = e_out[slots].copy()
+        prow = np.arange(S) % Lp
+        brow = np.arange(S) // Lp
+        m = (
+            (brow[:, None] == brow[None, :])
+            & (prow[None, :] - prow[:, None] != 0)
+            & (np.abs(prow[None, :] - prow[:, None]) <= W)
+            & (prow[:, None] < L)
+            & (prow[None, :] < L)
+        ).astype(np.float32)
+        s = phi @ ctx.T
+        g = (_sig(s) - 1.0) * m
+        loss = -np.sum(m * np.log(np.maximum(_sig(s), 1e-30)))
+        n_t = m.sum(1, keepdims=True)
+        dphi = g @ ctx
+        dctx = g.T @ phi
+        sn = phi @ cneg0.T
+        gneg = _sig(sn) * (negw * n_t)
+        loss += -negw * np.sum(n_t * np.log(np.maximum(_sig(-sn), 1e-30)))
+        dphi += gneg @ cneg0
+        dneg = gneg.T @ phi
+        for t in range(S):
+            e_in[slots[t]] -= lr * dphi[t]
+            e_out[slots[t]] -= lr * dctx[t]
         return loss, dneg
 
-    l0, dn0 = one_group(e_in, e_out, walks[:8])
-    l1, dn1 = one_group(e_in, e_out, walks[8:])
-    np.add.at(e_out, sneg, -lr * (dn0 + dn1))
-    np.testing.assert_allclose(float(loss), l0 + l1, rtol=1e-4)
+    e_in, e_out = emb_in.copy(), emb_out.copy()
+    total = 0.0
+    for blk in range(2):
+        cneg0 = e_out[sneg[blk]].copy()  # staged once per block
+        dneg_acc = np.zeros((KP, d), np.float32)
+        for gi in range(2):
+            wk = walks[8 * (2 * blk + gi) : 8 * (2 * blk + gi) + 8]
+            lg, dn = group_grads(e_in, e_out, wk, cneg0)
+            total += lg
+            dneg_acc += dn
+        np.add.at(e_out, sneg[blk], -lr * dneg_acc)  # applied at block end
+    np.testing.assert_allclose(float(loss), total, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(ni), e_in, rtol=1e-3, atol=3e-5)
     np.testing.assert_allclose(np.asarray(no), e_out, rtol=1e-3, atol=3e-5)
