@@ -256,10 +256,33 @@ class ShardedComETrainer(ComETrainer):
         npair = jax.lax.psum(jnp.sum(npairs), "data")
         return node_emb, ctx_emb, loss, npair
 
+    def _use_walk_kernel(self) -> bool:
+        """Walk-banded fused kernel under the mesh: data-parallel only
+        (model=1 keeps the full table VMEM-resident per chip; each data
+        shard runs the kernel on its walk shard and the parameter deltas
+        are psum'd over ICI — sum-of-deltas is the synchronous analog of D
+        hogwild workers sharing one table).  The collision envelope widens
+        by the data-axis size: D shards' groups land on the table at once."""
+        if self.layout.model_size != 1:
+            return False
+        if not super()._use_walk_kernel():
+            return False
+        cfg = self.cfg
+        nw = 1024 // 128
+        pairs_per_group = nw * cfg.walk_length * (cfg.window + 1) / 2
+        collisions = (
+            2.0 * pairs_per_group * self.layout.data_size
+            / max(self.graph.num_nodes, 1)
+        )
+        return collisions <= 16.0
+
     def _o1_epoch(self, state: TrainState, start_perm: jnp.ndarray):
         """shard_map body: start_perm [S, B] arrives sliced over 'data'."""
         cfg = self.cfg
-        B_global = start_perm.shape[1] * self.layout.data_size
+        # this runs INSIDE shard_map: start_perm is already the local slice
+        B_local = start_perm.shape[1]
+        B_global = B_local * self.layout.data_size
+        use_walk_kernel = self._use_walk_kernel()
 
         def body(carry, starts):
             params, key, words = carry
@@ -269,16 +292,50 @@ class ShardedComETrainer(ComETrainer):
             _, kw, kp, kn = jax.random.split(dkey, 4)
             lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
             walks = random_walks(self.csr, starts, cfg.walk_length, kw)
-            c, x, m = skipgram_pairs(walks, cfg.window, kp, self.keep)
-            negs = None
-            if cfg.negative_mode != "shared":
-                negs = sample_alias(
-                    self.accept, self.alias, kn, c.shape + (cfg.negative,)
+            if use_walk_kernel:
+                from come_tpu.ops.pallas_walk_sgns import (
+                    NWL,
+                    fused_walk_sgns_step,
                 )
-            ne, ce, loss, npairs = self._sgns_microbatched_sharded(
-                params.node_emb, params.ctx_emb, c, x, negs, m, lr, kn,
-                tie_tables=False,
-            )
+
+                interp = (cfg.pallas == "always"
+                          and jax.default_backend() != "tpu")
+                n_groups = -(-B_local // (NWL // 128))
+                n_pools = -(-n_groups // cfg.walk_pool_refresh)
+                sneg = sample_alias(
+                    self.accept, self.alias, kn,
+                    (n_pools, cfg.shared_negatives),
+                )
+                seed = jax.random.randint(
+                    kp, (), 0, 2**31 - 1, dtype=jnp.int32
+                )
+                ne0, ce0 = params.node_emb, params.ctx_emb
+                ne, ce, loss, npairs = fused_walk_sgns_step(
+                    ne0, ce0, walks, sneg, lr,
+                    cfg.negative / cfg.shared_negatives, seed,
+                    window=cfg.window, interpret=interp,
+                    reduced_window=not interp,
+                    mxu_bf16=cfg.walk_kernel_bf16,
+                    pool_refresh=cfg.walk_pool_refresh,
+                )
+                # sum-of-deltas over the data axis: every replica applies
+                # every shard's updates, replicas stay bit-identical
+                ne = ne0 + jax.lax.psum(ne - ne0, "data")
+                ce = ce0 + jax.lax.psum(ce - ce0, "data")
+                loss = jax.lax.psum(loss, "data")
+                npairs = jax.lax.psum(npairs, "data")
+            else:
+                c, x, m = skipgram_pairs(walks, cfg.window, kp, self.keep)
+                negs = None
+                if cfg.negative_mode != "shared":
+                    negs = sample_alias(
+                        self.accept, self.alias, kn,
+                        c.shape + (cfg.negative,),
+                    )
+                ne, ce, loss, npairs = self._sgns_microbatched_sharded(
+                    params.node_emb, params.ctx_emb, c, x, negs, m, lr, kn,
+                    tie_tables=False,
+                )
             params = params.replace(node_emb=ne, ctx_emb=ce)
             words = words + jnp.float32(B_global * cfg.walk_length)
             return (params, key, words), (loss, npairs)
