@@ -42,6 +42,10 @@ def main() -> None:
         pallas="auto",
         walk_kernel_bf16=True,
         walk_pool_refresh=8,
+        # cached corpus = the reference's own accounting: deepwalk writes
+        # walk files ONCE at startup; its words/s meter times only the SGD
+        # hot loop over the pre-generated corpus (SURVEY.md C3, §3.2)
+        walk_regen_epochs=0,
         batch_walks=2048,
         batch_pairs=131072,
         walks_per_node=2,

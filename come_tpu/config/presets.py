@@ -52,6 +52,12 @@ class ComEConfig:
     # staging row-ops.  The stability envelope scales like the collision
     # bound: keep R * NWL pool-slot updates << V.
     walk_pool_refresh: int = 1
+    # walk-corpus regeneration cadence for the device corpus: 1 = fresh
+    # walks every O1 epoch; N = regenerate every N epochs; 0 = generate
+    # ONCE and reuse — the reference's own behavior (deepwalk lineage:
+    # write_walks_to_disk runs once at startup and every epoch re-streams
+    # the same files, SURVEY.md C3/§3.1).
+    walk_regen_epochs: int = 1
     # optimization (reference: lr=0.025, linear decay to min_lr)
     lr: float = 0.025
     min_lr: float = 0.0001

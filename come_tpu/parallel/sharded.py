@@ -280,18 +280,29 @@ class ShardedComETrainer(ComETrainer):
         """shard_map body: start_perm [S, B] arrives sliced over 'data'."""
         cfg = self.cfg
         # this runs INSIDE shard_map: start_perm is already the local slice
-        B_local = start_perm.shape[1]
+        S, B_local = start_perm.shape
         B_global = B_local * self.layout.data_size
         use_walk_kernel = self._use_walk_kernel()
 
-        def body(carry, starts):
+        # whole-epoch walk generation in one batched call (see the base
+        # trainer: the walker is dispatch-latency bound, so one wide scan
+        # costs ~one narrow scan); decorrelated across data shards
+        kw_all = jax.random.fold_in(
+            jax.random.fold_in(state.key, 11), jax.lax.axis_index("data")
+        )
+        state = state.replace(key=jax.random.fold_in(state.key, 12))
+        walks_all = random_walks(
+            self.csr, start_perm.reshape(S * B_local), cfg.walk_length,
+            kw_all,
+        ).reshape(S, B_local, cfg.walk_length)
+
+        def body(carry, walks):
             params, key, words = carry
-            # decorrelate RNG across data shards (walks/negs are local)
+            # decorrelate RNG across data shards (negs are local)
             dkey = jax.random.fold_in(key, jax.lax.axis_index("data"))
             key = jax.random.fold_in(key, 7)
             _, kw, kp, kn = jax.random.split(dkey, 4)
             lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
-            walks = random_walks(self.csr, starts, cfg.walk_length, kw)
             if use_walk_kernel:
                 from come_tpu.ops.pallas_walk_sgns import (
                     NWL,
@@ -341,7 +352,7 @@ class ShardedComETrainer(ComETrainer):
             return (params, key, words), (loss, npairs)
 
         (params, key, words), (losses, npairs) = jax.lax.scan(
-            body, (state.params, state.key, state.words_seen), start_perm
+            body, (state.params, state.key, state.words_seen), walks_all
         )
         state = TrainState(params=params, key=key, words_seen=words)
         return state, jnp.sum(losses) / jnp.maximum(jnp.sum(npairs), 1.0)

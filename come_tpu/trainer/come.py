@@ -95,7 +95,13 @@ class ComETrainer:
         self._o2_epoch_jit = jax.jit(self._o2_epoch, donate_argnums=0)
         self._o3_step_jit = jax.jit(self._o3_step, donate_argnums=0)
         self._o1_walks_step_jit = jax.jit(self._o1_walks_step, donate_argnums=0)
+        self._o1_from_walks_jit = jax.jit(
+            self._o1_epoch_from_walks, donate_argnums=0
+        )
+        self._gen_walks_jit = jax.jit(self._gen_epoch_walks)
         self._host_feeder = None
+        self._walk_cache = None
+        self._o1_epochs_done = 0
 
     def _use_walk_kernel(self) -> bool:
         """Walk-banded fused kernel eligibility for O1 (the fastest path):
@@ -262,18 +268,35 @@ class ComETrainer:
         )
         return node_emb, ctx_emb, jnp.sum(losses), jnp.sum(npairs)
 
+    def _gen_epoch_walks(self, key, start_perm: jnp.ndarray) -> jnp.ndarray:
+        """Generate the WHOLE epoch's walks in one batched call: the walker
+        is a length-L scan of small gathers whose cost is per-step latency,
+        not bandwidth, so one S*B-wide scan costs ~one B-wide scan.  Walks
+        are param-independent, so hoisting out of the SGD scan is
+        semantics-free."""
+        S, B = start_perm.shape
+        return random_walks(
+            self.csr, start_perm.reshape(S * B), self.cfg.walk_length, key
+        ).reshape(S, B, self.cfg.walk_length)
+
     def _o1_epoch(self, state: TrainState, start_perm: jnp.ndarray):
         """start_perm int32 [S, B]: per-step walk origins."""
+        key, kw_all = jax.random.split(state.key)
+        state = state.replace(key=key)
+        walks_all = self._gen_epoch_walks(kw_all, start_perm)
+        return self._o1_epoch_from_walks(state, walks_all)
+
+    def _o1_epoch_from_walks(self, state: TrainState, walks_all: jnp.ndarray):
+        """walks_all int32 [S, B, L]: the epoch's corpus (fresh or cached)."""
         cfg = self.cfg
-        B = start_perm.shape[1]
+        B = walks_all.shape[1]
 
         use_walk_kernel = self._use_walk_kernel()
 
-        def body(carry, starts):
+        def body(carry, walks):
             params, key, words = carry
             key, kw, kp, kn = jax.random.split(key, 4)
             lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
-            walks = random_walks(self.csr, starts, cfg.walk_length, kw)
             if use_walk_kernel:
                 from come_tpu.ops.pallas_walk_sgns import (
                     NWL,
@@ -324,7 +347,7 @@ class ComETrainer:
             return (params, key, words), (loss, npairs)
 
         (params, key, words), (losses, npairs) = jax.lax.scan(
-            body, (state.params, state.key, state.words_seen), start_perm
+            body, (state.params, state.key, state.words_seen), walks_all
         )
         state = TrainState(params=params, key=key, words_seen=words)
         return state, jnp.sum(losses) / jnp.maximum(jnp.sum(npairs), 1.0)
@@ -343,6 +366,22 @@ class ComETrainer:
             k, jnp.tile(jnp.arange(v, dtype=jnp.int32), cfg.walks_per_node)
         )
         perm = jnp.resize(perm, (S, B))  # wraps the tail batch
+        if cfg.walk_regen_epochs != 1:
+            # cached corpus (reference semantics: deepwalk writes walk
+            # files once and every epoch re-streams them, SURVEY.md C3)
+            regen = self._walk_cache is None or (
+                cfg.walk_regen_epochs > 0
+                and self._o1_epochs_done % cfg.walk_regen_epochs == 0
+            )
+            if regen:
+                self.host_key, kw = jax.random.split(self.host_key)
+                self._walk_cache = self._gen_walks_jit(kw, perm)
+            self._o1_epochs_done += 1
+            self.state, loss = self._o1_from_walks_jit(
+                self.state, self._walk_cache
+            )
+            return float(loss)
+        self._o1_epochs_done += 1
         self.state, loss = self._o1_epoch_jit(self.state, perm)
         return float(loss)
 

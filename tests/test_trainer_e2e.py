@@ -83,3 +83,33 @@ def test_word2vec_text_roundtrip(tmp_path):
     back, names = load_embedding_word2vec(p)
     assert names == ["a", "b", "c", "d", "e"]
     np.testing.assert_allclose(back, emb, atol=1e-5)
+
+
+def test_walk_cache_cadence():
+    """walk_regen_epochs: 0 = generate once and reuse; N = every N epochs."""
+    import jax.numpy as jnp
+
+    from come_tpu.config import ComEConfig
+    from come_tpu.graphs import sbm_graph
+    from come_tpu.trainer import ComETrainer
+
+    g, _ = sbm_graph(64, 4, p_in=0.3, p_out=0.02, seed=0)
+    cfg = ComEConfig(
+        dim=16, num_communities=4, walk_length=8, walks_per_node=2,
+        window=3, negative=3, batch_walks=16, batch_pairs=256,
+        walk_regen_epochs=0,
+    )
+    t = ComETrainer(g, cfg)
+    l0 = t.o1_epoch()
+    c0 = t._walk_cache
+    l1 = t.o1_epoch()
+    assert t._walk_cache is c0  # reused, not regenerated
+    assert jnp.isfinite(l0) and jnp.isfinite(l1)
+
+    t2 = ComETrainer(g, cfg.replace(walk_regen_epochs=2))
+    t2.o1_epoch()
+    c0 = t2._walk_cache
+    t2.o1_epoch()
+    assert t2._walk_cache is c0  # epoch 1: still cached
+    t2.o1_epoch()
+    assert t2._walk_cache is not c0  # epoch 2: regenerated
