@@ -46,6 +46,10 @@ class ComEConfig:
     # on v5e; SGD quality unaffected (validated e2e).  f32 by default so
     # oracle-parity tests stay exact.
     walk_kernel_bf16: bool = False
+    # walk-banded kernel: allow bf16-RESIDENT tables (2B/elem, stochastic-
+    # rounding SGD writes, f32 gradient math) when f32 tables exceed the
+    # VMEM tier — extends the fused path to V ~ 114k @ d=128 (Flickr).
+    walk_kernel_bf16_tables: bool = True
     # walk-banded kernel: walk-groups per shared negative pool (R).  The
     # pool's accumulated gradient applies at every R-block boundary —
     # small R = fresher negatives + tighter stability, large R = fewer

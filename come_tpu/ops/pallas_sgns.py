@@ -356,7 +356,7 @@ def fused_sgns_step(
         # default when XLA fails to alias the in/out table buffers
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )(
         shared_negs.astype(jnp.int32),
@@ -413,7 +413,7 @@ def fused_sgns_step_tied(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )(
         shared_negs.astype(jnp.int32),

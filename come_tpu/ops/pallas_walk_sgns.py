@@ -44,22 +44,69 @@ from jax.experimental.pallas import tpu as pltpu
 NWL = 1024  # slots per grid step (1-D s32 operands carry XLA layout T(1024))
 
 
+M_HI = 0xFFFF0000
+M_LO = 0x0000FFFF
+
+
+def _bc(x, dt, interpret):
+    """Bit-reinterpret at same width.  Mosaic's bitcast needs >= 2-D, so
+    row vectors go through a (1, d) reshape at call sites; interpret mode
+    uses the XLA op (pltpu.bitcast has no CPU lowering)."""
+    if interpret:
+        return jax.lax.bitcast_convert_type(x, dt)
+    return pltpu.bitcast(x, dt)
+
+
+# bf16 tables are stored ROW-PAIR PACKED as u32 [V/2, d]: logical rows 2r
+# (low 16 bits) and 2r+1 (high bits) share physical row r.  bf16 VMEM
+# memrefs cannot be dynamically indexed by single row (two rows per
+# sublane); the u32 view carries f32 tiling, so the kernel's dynamic
+# row gathers/scatters stay legal, at the same 2 bytes/element residency.
+
+
+def _unpack_row(bits_u32, sh, interpret):
+    """u32 packed row -> f32 row of the selected half (sh = 16*(v&1)).
+    The bf16 pattern lands in the f32 high bits (an exact f32 embedding
+    of bf16).  Pure shift/mask arithmetic — no scalar-predicated vector
+    select, which Mosaic miscompiled data-dependently."""
+    pat = ((bits_u32 >> sh) & jnp.uint32(M_LO)) << jnp.uint32(16)
+    return _bc(pat.reshape(1, -1), jnp.float32, interpret).reshape(-1)
+
+
+def _pack_row(bits_u32, new_f32, sh, rnd_u32, interpret):
+    """Write the f32 value back into the selected half of the packed row
+    (sh = 16*(v&1)), stochastically rounded to bf16 when rnd_u32 is not
+    None (unbiased — small SGD deltas on O(1) params survive in
+    expectation where round-to-nearest drops every update below 2^-8 of
+    the magnitude); truncation otherwise (interpret/test path).  The
+    partner row's bits are preserved."""
+    nb = _bc(new_f32.reshape(1, -1), jnp.uint32, interpret).reshape(-1)
+    if rnd_u32 is not None:
+        nb = nb + (rnd_u32 & jnp.uint32(M_LO))
+    half = nb >> jnp.uint32(16)  # bf16 pattern, low 16 bits
+    keep = ~(jnp.uint32(M_LO) << sh)
+    return (bits_u32 & keep) | (half << sh)
+
+
 def _walk_kernel(
     seed_ref,  # [1] i32 (scalar prefetch)
     walks_ref,  # [NWL] i32 (SMEM): this group's walk slots
     sneg_ref,  # [KP] i32 (SMEM): this group's negative pool
     scal_ref,  # [1, 2] f32 (SMEM): lr, negative_weight
-    emb_in_hbm,
-    emb_out_hbm,
-    emb_in_out,  # [V, d] VMEM (aliased)
-    emb_out_out,  # [V, d] VMEM (aliased)
+    emb_in_hbm,  # [V, d] HBM (ANY): source table, DMA'd in at i == 0
+    emb_out_hbm,  # [V, d] HBM (ANY)
+    emb_in_out,  # [V, d] VMEM: the working table (aliased output)
+    emb_out_out,  # [V, d] VMEM
     stats_ref,  # [1, 2] f32 (SMEM out): loss, npairs
-    phi_ref,  # [NWL, d]
-    ctx_ref,  # [NWL, d]
-    dctx_ref,  # [NWL, d]
-    cneg_ref,  # [KP, d]
-    dneg_ref,  # [KP, d]
+    phi_ref,  # [NWL, d] f32 staging
+    ctx_ref,  # [NWL, d] f32 staging
+    dphi_ref,  # [NWL, d] f32 (update staging)
+    dctx_ref,  # [NWL, d] f32 (update staging)
+    cneg_ref,  # [KP, d] f32 staging
+    dneg_ref,  # [KP, d] f32
+    rnd_ref,  # [NWL, d] u32 (SR draws; unused when SR=False)
     acc_ref,  # [1, 2] f32 (SMEM)
+    dma_sem,  # DMA semaphore for the i == 0 table copy-in
     *,
     KP: int,
     Lp: int,
@@ -69,8 +116,12 @@ def _walk_kernel(
     USE_PRNG: bool,
     MXU_BF16: bool,
     R: int,
+    TABLES_BF16: bool,  # tables arrive u32 row-pair packed, [V/2, d]
+    SR: bool,
+    INTERPRET: bool,
 ):
-    mxu_t = jnp.bfloat16 if MXU_BF16 else jnp.float32
+    mxu_t = jnp.bfloat16 if (MXU_BF16 or TABLES_BF16) else jnp.float32
+    d = phi_ref.shape[1]
     i = pl.program_id(0)
     n = pl.num_programs(0)
     lr = scal_ref[0, 0]
@@ -80,6 +131,18 @@ def _walk_kernel(
     def _init():
         acc_ref[0, 0] = 0.0
         acc_ref[0, 1] = 0.0
+        # Explicitly DMA the tables HBM -> VMEM working buffers.  The
+        # output refs of an aliased whole-array VMEM operand are NOT
+        # reliably initialized with the input data (observed on v5e:
+        # works at some table sizes, garbage at others), and keeping the
+        # inputs in ANY/HBM instead of VMEM halves the kernel's VMEM
+        # demand (2x table instead of 4x).
+        cp = pltpu.make_async_copy(emb_in_hbm, emb_in_out, dma_sem)
+        cp.start()
+        cp.wait()
+        cp = pltpu.make_async_copy(emb_out_hbm, emb_out_out, dma_sem)
+        cp.start()
+        cp.wait()
 
     # stage a fresh pool every R groups; its accumulated gradient is
     # applied at the R-block boundary.  Unbounded cross-group accumulation
@@ -89,7 +152,14 @@ def _walk_kernel(
     @pl.when(i % R == 0)
     def _stage_pool():
         def g(k, _):
-            cneg_ref[k, :] = emb_out_out[sneg_ref[k], :]
+            nk = sneg_ref[k]
+            if TABLES_BF16:
+                cneg_ref[k, :] = _unpack_row(
+                    emb_out_out[nk >> 1, :],
+                    ((nk & 1) << 4).astype(jnp.uint32), INTERPRET,
+                )
+            else:
+                cneg_ref[k, :] = emb_out_out[nk, :]
             return 0
 
         jax.lax.fori_loop(0, KP, g, 0)
@@ -103,8 +173,14 @@ def _walk_kernel(
         for j in range(U):
             t = base + j
             v = walks_ref[t]
-            phi_ref[t, :] = emb_in_out[v, :]
-            ctx_ref[t, :] = emb_out_out[v, :]
+            if TABLES_BF16:
+                r = v >> 1
+                sh = ((v & 1) << 4).astype(jnp.uint32)
+                phi_ref[t, :] = _unpack_row(emb_in_out[r, :], sh, INTERPRET)
+                ctx_ref[t, :] = _unpack_row(emb_out_out[r, :], sh, INTERPRET)
+            else:
+                phi_ref[t, :] = emb_in_out[v, :]
+                ctx_ref[t, :] = emb_out_out[v, :]
         return 0
 
     jax.lax.fori_loop(0, NWL // U, gather, 0)
@@ -128,6 +204,12 @@ def _walk_kernel(
         # on CPU; also matches gensim with reduced-window disabled)
         wrow = jnp.full((NWL, 1), W, jnp.int32)
 
+    if SR:
+        # per-element 32-bit draws for stochastic rounding: low 16 bits
+        # round the node-table write, high 16 the ctx-table write
+        rnd_ref[:, :] = pltpu.bitcast(
+            pltpu.prng_random_bits((NWL, d)), jnp.uint32
+        )
     prow = jax.lax.broadcasted_iota(jnp.int32, (NWL, 1), 0) % Lp
     brow = jax.lax.broadcasted_iota(jnp.int32, (NWL, 1), 0) // Lp
     row_ok = prow < L  # real position within the walk
@@ -192,7 +274,7 @@ def _walk_kernel(
     acc_ref[0, 0] += loss_pos + loss_neg
     acc_ref[0, 1] += jnp.sum(n_t)
 
-    phi_ref[:, :] = dphi * (-lr)
+    dphi_ref[:, :] = dphi * (-lr)
     dctx_ref[:, :] = dctx_ref[:, :] * (-lr)
 
     # ---- scatter (slots with no valid pairs have all-zero updates)
@@ -201,8 +283,25 @@ def _walk_kernel(
         for j in range(U):
             t = base + j
             v = walks_ref[t]
-            emb_in_out[v, :] = emb_in_out[v, :] + phi_ref[t, :]
-            emb_out_out[v, :] = emb_out_out[v, :] + dctx_ref[t, :]
+            if TABLES_BF16:
+                r = v >> 1
+                sh = ((v & 1) << 4).astype(jnp.uint32)
+                bin_ = emb_in_out[r, :]
+                new_in = _unpack_row(bin_, sh, INTERPRET) + dphi_ref[t, :]
+                emb_in_out[r, :] = _pack_row(
+                    bin_, new_in, sh,
+                    rnd_ref[t, :] if SR else None, INTERPRET,
+                )
+                bout = emb_out_out[r, :]
+                new_out = _unpack_row(bout, sh, INTERPRET) + dctx_ref[t, :]
+                emb_out_out[r, :] = _pack_row(
+                    bout, new_out, sh,
+                    (rnd_ref[t, :] >> jnp.uint32(16)) if SR else None,
+                    INTERPRET,
+                )
+            else:
+                emb_in_out[v, :] = emb_in_out[v, :] + dphi_ref[t, :]
+                emb_out_out[v, :] = emb_out_out[v, :] + dctx_ref[t, :]
         return 0
 
     jax.lax.fori_loop(0, NWL // U, scatter, 0)
@@ -213,7 +312,22 @@ def _walk_kernel(
     def _apply_pool():
         def s(k, _):
             nk = sneg_ref[k]
-            emb_out_out[nk, :] = emb_out_out[nk, :] - lr * dneg_ref[k, :]
+            if TABLES_BF16:
+                r = nk >> 1
+                sh = ((nk & 1) << 4).astype(jnp.uint32)
+                bits = emb_out_out[r, :]
+                new = (
+                    _unpack_row(bits, sh, INTERPRET)
+                    - lr * dneg_ref[k, :]
+                )
+                emb_out_out[r, :] = _pack_row(
+                    bits, new, sh,
+                    rnd_ref[k, :] if SR else None, INTERPRET,
+                )
+            else:
+                emb_out_out[nk, :] = (
+                    emb_out_out[nk, :] - lr * dneg_ref[k, :]
+                )
             return 0
 
         jax.lax.fori_loop(0, KP, s, 0)
@@ -262,6 +376,11 @@ def fused_walk_sgns_step(
         2*KP staging row-ops over R groups.
 
     Returns (emb_in', emb_out', loss, n_pairs).
+
+    Table dtype: f32 or bf16 (inferred from ``emb_in``).  bf16 tables halve
+    VMEM residency (admitting Flickr-scale V~80k on one v5e chip); SGD
+    writes then use stochastic rounding (hardware PRNG; interpret mode
+    falls back to round-to-nearest) and all gradient math stays f32.
     """
     B, L = walks.shape
     Lp = 128
@@ -297,9 +416,35 @@ def fused_walk_sgns_step(
          jnp.asarray(negative_weight, jnp.float32)]
     ).reshape(1, 2)
 
+    tables_bf16 = emb_in.dtype == jnp.bfloat16
+    if emb_out.dtype != emb_in.dtype:
+        raise ValueError("emb_in/emb_out dtypes must match")
+    sr = tables_bf16 and reduced_window  # PRNG only lowers on hardware
+
+    if tables_bf16:
+        # row-pair pack to u32 [Vp/2, d] (see module comment): bf16 VMEM
+        # memrefs can't be dynamically indexed by single row on TPU
+        Vp = V + (V & 1)
+
+        def _pack(tb):
+            tb = jnp.pad(tb, ((0, Vp - V), (0, 0)))
+            u16 = jax.lax.bitcast_convert_type(tb, jnp.uint16)
+            lo = u16[0::2].astype(jnp.uint32)
+            hi = u16[1::2].astype(jnp.uint32)
+            return lo | (hi << 16)
+
+        emb_in_k, emb_out_k = _pack(emb_in), _pack(emb_out)
+        tshape = (Vp // 2, d)
+        tdt = jnp.uint32
+    else:
+        emb_in_k, emb_out_k = emb_in, emb_out
+        tshape = (V, d)
+        tdt = emb_in.dtype
+
     kernel = functools.partial(
         _walk_kernel, KP=KP, Lp=Lp, L=L, W=int(window), CB=column_block,
         USE_PRNG=reduced_window, MXU_BF16=mxu_bf16, R=R,
+        TABLES_BF16=tables_bf16, SR=sr, INTERPRET=interpret,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -314,8 +459,8 @@ def fused_walk_sgns_step(
             pl.BlockSpec(
                 (1, 2), lambda i, _s: (0, 0), memory_space=pltpu.SMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -323,34 +468,49 @@ def fused_walk_sgns_step(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NWL, d), jnp.float32),
-            pltpu.VMEM((NWL, d), jnp.float32),
-            pltpu.VMEM((NWL, d), jnp.float32),
-            pltpu.VMEM((KP, d), jnp.float32),
-            pltpu.VMEM((KP, d), jnp.float32),
+            pltpu.VMEM((NWL, d), jnp.float32),  # phi staging
+            pltpu.VMEM((NWL, d), jnp.float32),  # ctx staging
+            pltpu.VMEM((NWL, d), jnp.float32),  # dphi updates
+            pltpu.VMEM((NWL, d), jnp.float32),  # dctx updates
+            pltpu.VMEM((KP, d), jnp.float32),  # pool staging
+            pltpu.VMEM((KP, d), jnp.float32),  # pool gradient
+            pltpu.VMEM((NWL, d), jnp.uint32),  # SR draws
             pltpu.SMEM((1, 2), jnp.float32),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     new_in, new_out, stats = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((V, d), jnp.float32),
-            jax.ShapeDtypeStruct((V, d), jnp.float32),
+            jax.ShapeDtypeStruct(tshape, tdt),
+            jax.ShapeDtypeStruct(tshape, tdt),
             jax.ShapeDtypeStruct((1, 2), jnp.float32),
         ],
         input_output_aliases={4: 0, 5: 1},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )(
         jnp.asarray(seed, jnp.int32).reshape(1),
         walks_flat,
         sneg_g.astype(jnp.int32).reshape(n_pools * KPp),
         scal,
-        emb_in,
-        emb_out,
+        emb_in_k,
+        emb_out_k,
     )
+    if tables_bf16:
+
+        def _unpack(pk):
+            lo = jax.lax.bitcast_convert_type(
+                (pk & jnp.uint32(M_LO)).astype(jnp.uint16), jnp.bfloat16
+            )
+            hi = jax.lax.bitcast_convert_type(
+                (pk >> jnp.uint32(16)).astype(jnp.uint16), jnp.bfloat16
+            )
+            return jnp.stack([lo, hi], axis=1).reshape(Vp, d)[:V]
+
+        new_in, new_out = _unpack(new_in), _unpack(new_out)
     return new_in, new_out, stats[0, 0], stats[0, 1]

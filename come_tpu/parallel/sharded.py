@@ -267,6 +267,10 @@ class ShardedComETrainer(ComETrainer):
             return False
         if not super()._use_walk_kernel():
             return False
+        if self._walk_table_dtype() != jnp.float32:
+            # bf16-resident tables under the mesh (psum of bf16 deltas)
+            # are a round-2 item; fall back to the XLA path for now
+            return False
         cfg = self.cfg
         nw = 1024 // 128
         pairs_per_group = nw * cfg.walk_length * (cfg.window + 1) / 2

@@ -111,14 +111,43 @@ class ComETrainer:
         collisions bounded (the stability envelope; tiny graphs like Karate
         fall back to the micro-batched paths)."""
         cfg = self.cfg
-        if not self._use_pallas(tie_tables=False):
+        if cfg.pallas == "never" or cfg.negative_mode != "shared":
             return False
         if cfg.walk_length > 128 or cfg.down_sample > 0:
             return False
+        if self._walk_table_dtype() is None:
+            return False
+        if cfg.pallas != "always":
+            import jax
+
+            if jax.default_backend() != "tpu":
+                return False
         nw = 1024 // 128  # slots per group / padded walk length
         pairs_per_group = nw * cfg.walk_length * (cfg.window + 1) / 2
         collisions_per_row = 2.0 * pairs_per_group / max(self.graph.num_nodes, 1)
         return collisions_per_row <= 16.0
+
+    def _walk_table_dtype(self):
+        """VMEM tier for the walk-banded kernel's resident tables.
+
+        The kernel keeps table INPUTS in HBM and DMAs them into the VMEM
+        working buffers at grid step 0, so VMEM demand is 2*table +
+        ~10MB scratch/temporaries against the 110MB scoped limit:
+          f32:  table <= 48MB  (V <= ~98k @ d=128 — admits Flickr)
+          bf16: packed u32 table <= 48MB at 2B/elem (V <= ~196k) with
+                stochastic-rounding SGD writes.
+        Beyond that: None (XLA block path; a group-paged HBM-resident
+        kernel is the round-2 item)."""
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        budget = 48 * 1024 * 1024
+        elems = self.graph.num_nodes * cfg.dim
+        if elems * 4 <= budget:
+            return jnp.float32
+        if cfg.walk_kernel_bf16_tables and elems * 2 <= budget:
+            return jnp.bfloat16
+        return None
 
     def _use_pallas(self, tie_tables: bool) -> bool:
         """Fused-kernel eligibility: shared negatives, untied tables, and
@@ -128,10 +157,14 @@ class ComETrainer:
             return False
         if cfg.negative_mode != "shared":
             return False
-        # v5e VMEM is 128MB (probed); both tables + scratch must fit under
-        # the kernel's 100MB budget -> up to ~40MB per table (V~80k @ d=128)
+        # v5e VMEM is 128MB.  Mosaic stages whole-array VMEM operands as
+        # separate in/out buffers even when aliased, so each table costs
+        # 2x its size: 4*table + ~4MB scratch <= 128MB -> 28MB/table
+        # (V <= ~57k @ d=128; measured OOM at Flickr's 41MB/table: XLA
+        # reported 164.8M = 4x41.2M demand).  Larger graphs take the XLA
+        # block path; an HBM-resident-table kernel is the round-2 fix.
         table_bytes = self.graph.num_nodes * cfg.dim * 4
-        fits = table_bytes <= 40 * 1024 * 1024
+        fits = table_bytes <= 28 * 1024 * 1024
         if cfg.pallas == "always":
             return True
         import jax
@@ -292,6 +325,15 @@ class ComETrainer:
         B = walks_all.shape[1]
 
         use_walk_kernel = self._use_walk_kernel()
+        wdt = self._walk_table_dtype() if use_walk_kernel else None
+        if wdt == jnp.bfloat16:
+            # bf16-resident tables for the epoch (SR writes in-kernel);
+            # master copy restored to f32 at the epoch boundary
+            p = state.params
+            state = state.replace(params=p.replace(
+                node_emb=p.node_emb.astype(wdt),
+                ctx_emb=p.ctx_emb.astype(wdt),
+            ))
 
         def body(carry, walks):
             params, key, words = carry
@@ -349,6 +391,11 @@ class ComETrainer:
         (params, key, words), (losses, npairs) = jax.lax.scan(
             body, (state.params, state.key, state.words_seen), walks_all
         )
+        if wdt == jnp.bfloat16:
+            params = params.replace(
+                node_emb=params.node_emb.astype(jnp.float32),
+                ctx_emb=params.ctx_emb.astype(jnp.float32),
+            )
         state = TrainState(params=params, key=key, words_seen=words)
         return state, jnp.sum(losses) / jnp.maximum(jnp.sum(npairs), 1.0)
 

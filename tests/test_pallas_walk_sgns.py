@@ -264,3 +264,36 @@ def test_walk_kernel_pool_refresh_blocks(rng):
     np.testing.assert_allclose(float(loss), total, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(ni), e_in, rtol=1e-3, atol=3e-5)
     np.testing.assert_allclose(np.asarray(no), e_out, rtol=1e-3, atol=3e-5)
+
+
+def test_walk_kernel_bf16_tables_rtn(rng):
+    """bf16-resident tables (interpret: round-to-nearest writes) track the
+    f32 kernel to bf16 resolution."""
+    V, d, KP = 60, 128, 16
+    emb_in = rng.normal(size=(V, d)).astype(np.float32) * 0.1
+    emb_out = rng.normal(size=(V, d)).astype(np.float32) * 0.1
+    walks = rng.integers(0, V, (8, 40)).astype(np.int32)
+    sneg = rng.integers(0, V, KP).astype(np.int32)
+    lr, negw = 0.05, 5.0 / KP
+
+    f32 = fused_walk_sgns_step(
+        jnp.asarray(emb_in), jnp.asarray(emb_out), jnp.asarray(walks),
+        jnp.asarray(sneg), lr, negw, seed=0, window=4,
+        interpret=True, reduced_window=False,
+    )
+    b16 = fused_walk_sgns_step(
+        jnp.asarray(emb_in, jnp.bfloat16), jnp.asarray(emb_out, jnp.bfloat16),
+        jnp.asarray(walks), jnp.asarray(sneg), lr, negw, seed=0, window=4,
+        interpret=True, reduced_window=False,
+    )
+    assert b16[0].dtype == jnp.bfloat16 and b16[1].dtype == jnp.bfloat16
+    # interpret path truncates instead of rounding: allow ~2 bf16 ulps
+    np.testing.assert_allclose(
+        np.asarray(b16[0], np.float32), np.asarray(f32[0]),
+        rtol=0.06, atol=1.6e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(b16[1], np.float32), np.asarray(f32[1]),
+        rtol=0.06, atol=1.6e-2,
+    )
+    np.testing.assert_allclose(float(b16[2]), float(f32[2]), rtol=0.02)
