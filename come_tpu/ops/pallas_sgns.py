@@ -103,16 +103,17 @@ def _fused_kernel(
     x_ref,  # [TP] int32 (SMEM)
     mask_ref,  # [TP] int32 (SMEM)
     scal_ref,  # [1, 2] f32 (SMEM): lr, negative_weight
-    emb_in_hbm,
+    emb_in_hbm,  # [V, d] HBM (ANY): DMA'd into the VMEM buffer at i == 0
     emb_out_hbm,
-    emb_in_out,  # [V, d] (VMEM, aliased)
-    emb_out_out,  # [V, d] (VMEM, aliased)
+    emb_in_out,  # [V, d] VMEM working table (aliased output)
+    emb_out_out,  # [V, d] VMEM
     loss_ref,  # [1, 1] f32 (SMEM out)
     a_ref,  # [TP, d]
     b_ref,  # [TP, d]
     cneg_ref,  # [KP, d]
     dneg_ref,  # [KP, d]
     acc_ref,  # [1, 1]
+    dma_sem,
     *,
     TP: int,
     KP: int,
@@ -125,6 +126,15 @@ def _fused_kernel(
     @pl.when(i == 0)
     def _init():
         acc_ref[0, 0] = 0.0
+        # explicit HBM -> VMEM table init: aliased whole-array VMEM output
+        # refs are not reliably input-initialized (see pallas_walk_sgns),
+        # and ANY-space inputs halve the kernel's VMEM demand
+        cp = pltpu.make_async_copy(emb_in_hbm, emb_in_out, dma_sem)
+        cp.start()
+        cp.wait()
+        cp = pltpu.make_async_copy(emb_out_hbm, emb_out_out, dma_sem)
+        cp.start()
+        cp.wait()
 
         def g(k, _):
             cneg_ref[k, :] = emb_out_out[sneg_ref[k], :]
@@ -178,14 +188,15 @@ def _fused_tied_kernel(
     x_ref,
     mask_ref,
     scal_ref,
-    emb_hbm,
-    emb_out,  # single table (VMEM, aliased)
+    emb_hbm,  # [V, d] HBM (ANY)
+    emb_out,  # single working table (VMEM, aliased output)
     loss_ref,
     a_ref,
     b_ref,
     cneg_ref,
     dneg_ref,
     acc_ref,
+    dma_sem,
     *,
     TP: int,
     KP: int,
@@ -201,6 +212,9 @@ def _fused_tied_kernel(
     @pl.when(i == 0)
     def _init():
         acc_ref[0, 0] = 0.0
+        cp = pltpu.make_async_copy(emb_hbm, emb_out, dma_sem)
+        cp.start()
+        cp.wait()
 
         def g(k, _):
             cneg_ref[k, :] = emb_out[sneg_ref[k], :]
@@ -281,6 +295,7 @@ def _scratch(TP, KP, d):
         pltpu.VMEM((KP, d), jnp.float32),
         pltpu.VMEM((KP, d), jnp.float32),
         pltpu.SMEM((1, 1), jnp.float32),
+        pltpu.SemaphoreType.DMA,
     ]
 
 
@@ -332,8 +347,8 @@ def fused_sgns_step(
         grid=(n_tiles,),
         in_specs=_common_specs(TP)
         + [
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -395,7 +410,7 @@ def fused_sgns_step_tied(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=_common_specs(TP)
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        + [pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
