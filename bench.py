@@ -57,7 +57,7 @@ def main() -> None:
 
     pairs_per_epoch = None
     times = []
-    for _ in range(3):
+    for _ in range(8):
         t0 = time.perf_counter()
         t.o1_epoch()
         times.append(time.perf_counter() - t0)
