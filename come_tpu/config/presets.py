@@ -56,6 +56,22 @@ class ComEConfig:
     # staging row-ops.  The stability envelope scales like the collision
     # bound: keep R * NWL pool-slot updates << V.
     walk_pool_refresh: int = 1
+    # banded XLA tier (losses/sgns_banded.py): the walk-banded MXU
+    # formulation with HBM-resident tables — carries graphs past the
+    # fused kernels' VMEM ceiling (V > ~196k @ d=128).  "auto": used on
+    # TPU when the fused walk kernel is ineligible; "never"; "always"
+    # (force, incl. CPU — tests).
+    banded: str = "auto"
+    # walks per banded block (the synchronous update unit; also bounds the
+    # [Bc, L, L] score temporaries).  1024 measured best on v5e: the tier
+    # is gather/scatter row-rate bound and bigger blocks amortize the
+    # per-block fixed costs.
+    banded_walk_block: int = 1024
+    # duplicate-combining sort+segment-sum scatter (hub rows repeat within
+    # a block) vs plain XLA scatter-add.  Off by default: plain scatter
+    # measured ~1.5x faster at SBM-like duplication; turn on for
+    # heavy-hub power-law batches.
+    banded_sorted_scatter: bool = False
     # walk-corpus regeneration cadence for the device corpus: 1 = fresh
     # walks every O1 epoch; N = regenerate every N epochs; 0 = generate
     # ONCE and reuse — the reference's own behavior (deepwalk lineage:

@@ -127,6 +127,28 @@ class ComETrainer:
         collisions_per_row = 2.0 * pairs_per_group / max(self.graph.num_nodes, 1)
         return collisions_per_row <= 16.0
 
+    def _use_banded(self) -> bool:
+        """Banded-XLA tier eligibility (the large-V path): the walk-banded
+        MXU formulation with HBM-resident tables — same block-synchronous
+        semantics as the fused kernel, no VMEM residency ceiling.  Checked
+        only when the fused walk kernel is ineligible; the collision
+        envelope uses the banded block as the synchronous unit."""
+        cfg = self.cfg
+        if cfg.banded == "never" or cfg.negative_mode != "shared":
+            return False
+        if cfg.down_sample > 0:
+            return False
+        if cfg.banded == "always":
+            return True
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return False
+        bc = min(cfg.banded_walk_block, cfg.batch_walks)
+        pairs_per_block = bc * cfg.walk_length * (cfg.window + 1) / 2
+        collisions = 2.0 * pairs_per_block / max(self.graph.num_nodes, 1)
+        return collisions <= 16.0
+
     def _walk_table_dtype(self):
         """VMEM tier for the walk-banded kernel's resident tables.
 
@@ -325,6 +347,7 @@ class ComETrainer:
         B = walks_all.shape[1]
 
         use_walk_kernel = self._use_walk_kernel()
+        use_banded = (not use_walk_kernel) and self._use_banded()
         wdt = self._walk_table_dtype() if use_walk_kernel else None
         if wdt == jnp.bfloat16:
             # bf16-resident tables for the epoch (SR writes in-kernel);
@@ -333,6 +356,17 @@ class ComETrainer:
             state = state.replace(params=p.replace(
                 node_emb=p.node_emb.astype(wdt),
                 ctx_emb=p.ctx_emb.astype(wdt),
+            ))
+        if use_banded:
+            # pack [V, d] x2 -> [V, 2d] for the epoch: the banded tier is
+            # gather/scatter ROW-RATE bound, and phi/ctx share indices —
+            # one packed row op moves both tables (see sgns_banded.py)
+            from come_tpu.losses.sgns_banded import pack_tables
+
+            p = state.params
+            state = state.replace(params=p.replace(
+                node_emb=pack_tables(p.node_emb, p.ctx_emb),
+                ctx_emb=jnp.zeros((0, 0), p.ctx_emb.dtype),
             ))
 
         def body(carry, walks):
@@ -372,6 +406,24 @@ class ComETrainer:
                     mxu_bf16=cfg.walk_kernel_bf16,
                     pool_refresh=cfg.walk_pool_refresh,
                 )
+            elif use_banded:
+                from come_tpu.losses.sgns_banded import (
+                    banded_walk_sgns_step_packed,
+                )
+
+                kpool, kwin = jax.random.split(kn)
+                sneg = sample_alias(
+                    self.accept, self.alias, kpool, (cfg.shared_negatives,)
+                )
+                ne, loss, npairs = banded_walk_sgns_step_packed(
+                    params.node_emb, walks, sneg, lr,
+                    cfg.negative / cfg.shared_negatives, kwin,
+                    window=cfg.window,
+                    walk_block=cfg.banded_walk_block,
+                    mxu_bf16=cfg.walk_kernel_bf16,
+                    sorted_scatter=cfg.banded_sorted_scatter,
+                )
+                ce = params.ctx_emb  # zero-size placeholder while packed
             else:
                 c, x, m = skipgram_pairs(walks, cfg.window, kp, self.keep)
                 negs = None
@@ -396,6 +448,11 @@ class ComETrainer:
                 node_emb=params.node_emb.astype(jnp.float32),
                 ctx_emb=params.ctx_emb.astype(jnp.float32),
             )
+        if use_banded:
+            from come_tpu.losses.sgns_banded import unpack_tables
+
+            ne, ce = unpack_tables(params.node_emb)
+            params = params.replace(node_emb=ne, ctx_emb=ce)
         state = TrainState(params=params, key=key, words_seen=words)
         return state, jnp.sum(losses) / jnp.maximum(jnp.sum(npairs), 1.0)
 

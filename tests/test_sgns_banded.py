@@ -1,0 +1,177 @@
+"""Banded XLA SGNS (the large-V HBM tier) vs a per-pair numpy oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from come_tpu.losses.sgns_banded import (
+    banded_block_grads,
+    banded_walk_sgns_step,
+)
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _oracle_block(emb_in, emb_out, walks, pool, wrow, negw):
+    """Per-pair numpy loops over one walk block: full [V, d] gradients.
+
+    Mirrors the reference inner loop's pair enumeration (every in-window,
+    in-walk context of every center), with the shared-pool negative model:
+    each center with n_t trained pairs scores all KP pool rows with weight
+    negw * n_t.
+    """
+    V, d = emb_in.shape
+    d_in = np.zeros_like(emb_in)
+    d_out = np.zeros_like(emb_out)
+    loss = 0.0
+    npairs = 0
+    B, L = walks.shape
+    for b in range(B):
+        for l in range(L):
+            i = int(walks[b, l])
+            w = int(wrow[b, l])
+            n_t = 0
+            for m in range(max(0, l - w), min(L, l + w + 1)):
+                if m == l:
+                    continue
+                j = int(walks[b, m])
+                s = float(emb_in[i] @ emb_out[j])
+                g = _sigmoid(s) - 1.0
+                loss += -np.log(max(_sigmoid(s), 1e-30))
+                d_in[i] += g * emb_out[j]
+                d_out[j] += g * emb_in[i]
+                n_t += 1
+            npairs += n_t
+            for k in pool:
+                s = float(emb_in[i] @ emb_out[int(k)])
+                g = _sigmoid(s) * negw * n_t
+                loss += -negw * n_t * np.log(max(1.0 - _sigmoid(s), 1e-30))
+                d_in[i] += g * emb_out[int(k)]
+                d_out[int(k)] += g * emb_in[i]
+    return loss, npairs, d_in, d_out
+
+
+@pytest.mark.parametrize("W", [1, 3])
+def test_banded_block_grads_match_oracle(rng, W):
+    V, d, B, L, KP = 30, 8, 3, 7, 4
+    emb_in = rng.normal(size=(V, d)).astype(np.float32) * 0.3
+    emb_out = rng.normal(size=(V, d)).astype(np.float32) * 0.3
+    walks = rng.integers(0, V, size=(B, L)).astype(np.int32)
+    pool = rng.integers(0, V, size=(KP,)).astype(np.int32)
+    wrow = rng.integers(1, W + 1, size=(B, L)).astype(np.int32)
+    negw = 5.0 / KP
+
+    phi = jnp.asarray(emb_in)[jnp.asarray(walks)]
+    ctx = jnp.asarray(emb_out)[jnp.asarray(walks)]
+    cneg = jnp.asarray(emb_out)[jnp.asarray(pool)]
+    loss, npairs, (d_phi, d_ctx, d_cneg) = banded_block_grads(
+        phi, ctx, cneg, jnp.asarray(wrow), negw
+    )
+
+    o_loss, o_npairs, o_din, o_dout = _oracle_block(
+        emb_in, emb_out, walks, pool, wrow, negw
+    )
+
+    # fold the per-slot/per-pool gradients back to full tables
+    d_in = np.zeros_like(emb_in)
+    np.add.at(d_in, walks.reshape(-1), np.asarray(d_phi).reshape(-1, d))
+    d_out = np.zeros_like(emb_out)
+    np.add.at(d_out, walks.reshape(-1), np.asarray(d_ctx).reshape(-1, d))
+    np.add.at(d_out, pool, np.asarray(d_cneg))
+
+    assert int(npairs) == o_npairs
+    np.testing.assert_allclose(float(loss), o_loss, rtol=2e-5)
+    np.testing.assert_allclose(d_in, o_din, atol=2e-5)
+    np.testing.assert_allclose(d_out, o_dout, atol=2e-5)
+
+
+def test_step_blocks_apply_sequentially(rng):
+    """A 2-block step == two single-block steps applied in sequence."""
+    V, d, L, Bc = 25, 8, 6, 4
+    emb_in = jnp.asarray(rng.normal(size=(V, d)).astype(np.float32) * 0.3)
+    emb_out = jnp.asarray(rng.normal(size=(V, d)).astype(np.float32) * 0.3)
+    walks = jnp.asarray(rng.integers(0, V, size=(2 * Bc, L)), jnp.int32)
+    pool = jnp.asarray(rng.integers(0, V, size=(6,)), jnp.int32)
+    key = jax.random.key(0)
+
+    a_in, a_out, a_loss, a_np = banded_walk_sgns_step(
+        emb_in, emb_out, walks, pool, 0.05, 0.5, key,
+        window=2, walk_block=Bc, reduced_window=False, mxu_bf16=False,
+    )
+    # sequential single blocks (same full-window draw => same math)
+    b_in, b_out = emb_in, emb_out
+    tot_loss = tot_np = 0.0
+    for blk in (walks[:Bc], walks[Bc:]):
+        b_in, b_out, ls, n = banded_walk_sgns_step(
+            b_in, b_out, blk, pool, 0.05, 0.5, key,
+            window=2, walk_block=Bc, reduced_window=False, mxu_bf16=False,
+        )
+        tot_loss += float(ls)
+        tot_np += float(n)
+    np.testing.assert_allclose(np.asarray(a_in), np.asarray(b_in), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_out), np.asarray(b_out), atol=1e-5)
+    np.testing.assert_allclose(float(a_loss), tot_loss, rtol=1e-5)
+    assert float(a_np) == tot_np
+
+
+def test_sorted_scatter_matches_plain(rng):
+    V, d, L = 20, 8, 6
+    emb_in = jnp.asarray(rng.normal(size=(V, d)).astype(np.float32) * 0.3)
+    emb_out = jnp.asarray(rng.normal(size=(V, d)).astype(np.float32) * 0.3)
+    walks = jnp.asarray(rng.integers(0, V, size=(8, L)), jnp.int32)
+    pool = jnp.asarray(rng.integers(0, V, size=(5,)), jnp.int32)
+    key = jax.random.key(1)
+    outs = []
+    for srt in (True, False):
+        outs.append(
+            banded_walk_sgns_step(
+                emb_in, emb_out, walks, pool, 0.05, 1.0, key,
+                window=2, walk_block=4, mxu_bf16=False, sorted_scatter=srt,
+            )
+        )
+    np.testing.assert_allclose(
+        np.asarray(outs[0][0]), np.asarray(outs[1][0]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[0][1]), np.asarray(outs[1][1]), atol=1e-5
+    )
+
+
+def test_trainer_banded_path_trains():
+    """Force the banded tier through the trainer on an SBM; NMI improves."""
+    from come_tpu.config import ComEConfig
+    from come_tpu.evaluation import nmi_score
+    from come_tpu.graphs import sbm_graph
+    from come_tpu.trainer import ComETrainer
+
+    g, labels = sbm_graph(512, 4, p_in=0.2, p_out=0.01, seed=3)
+    cfg = ComEConfig(
+        dim=32,
+        num_communities=4,
+        walk_length=16,
+        walks_per_node=2,
+        window=4,
+        negative_mode="shared",
+        shared_negatives=128,
+        pallas="never",
+        banded="always",
+        banded_walk_block=32,
+        batch_walks=128,
+        batch_edges=1024,
+        lr=0.05,
+        outer_iters=0,
+        pretrain_epochs=8,
+        gmm_max_iter=20,
+        reg_covar=1e-2,
+    )
+    t = ComETrainer(g, cfg)
+    assert not t._use_walk_kernel()
+    assert t._use_banded()
+    first = t.o1_epoch()
+    losses = [t.o1_epoch() for _ in range(7)]
+    assert np.isfinite(first) and losses[-1] < first
+    t.fit_gmm()
+    assert nmi_score(labels, t.communities()) > 0.5
