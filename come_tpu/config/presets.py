@@ -103,6 +103,16 @@ class ComEConfig:
     # 0 disables compaction (default: the argsort costs more than the
     # masked slots it saves on TPU; kept for host-feeder pipelines).
     compact_budget: float = 0.0
+    # row exchange for model>1 sharded training (shared-negative mode):
+    # "psum" = masked-gather + psum (replicated batch over 'model', traffic
+    # ~2*B*d/device); "a2a" = bucketed all-to-all (batch ALSO sliced over
+    # 'model', traffic ~3*B*d/M — see parallel/exchange.py).
+    row_exchange: str = "psum"
+    # bucket slack for the a2a exchange: capacity = ceil(B/M * slack).
+    # Ids past an owner's bucket are skipped that micro-step (reported by
+    # the served mask); the trainer interleave-relabels node ids so
+    # contiguous shards own decorrelated sets, making overflow ~never fire.
+    a2a_capacity_slack: float = 2.0
     # GMM (reference: sklearn GaussianMixture(K, 'full', reg_covar, n_init))
     reg_covar: float = 1e-5
     gmm_n_init: int = 1

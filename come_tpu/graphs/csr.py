@@ -77,6 +77,24 @@ class CSRGraph:
         """Node -> degree, the reference Model's vocab input (SURVEY.md C5)."""
         return {int(i): int(d) for i, d in enumerate(self.degrees)}
 
+    def permute(self, perm: np.ndarray) -> "CSRGraph":
+        """Relabel nodes: new graph where old node ``i`` becomes ``perm[i]``.
+
+        ``perm`` must be a permutation of 0..V-1.  Used by the sharded
+        trainer to stripe community-sorted ids across row shards
+        (parallel/exchange.py); embeddings map back via ``emb[perm]``.
+        """
+        perm = np.asarray(perm, np.int64)
+        src, dst = self.arcs()
+        names = None
+        if self.node_names is not None:
+            names = np.empty_like(self.node_names)
+            names[perm] = self.node_names
+        return CSRGraph.from_arcs(
+            perm[src], perm[dst], num_nodes=self.num_nodes,
+            symmetrize=False, remove_self_loops=False, node_names=names,
+        )
+
     def subgraph(self, nodes: Sequence[int]) -> "CSRGraph":
         """Induced subgraph with nodes relabeled to 0..len(nodes)-1."""
         nodes = np.asarray(sorted(set(int(n) for n in nodes)), np.int64)

@@ -95,6 +95,14 @@ class ShardedComETrainer(ComETrainer):
         m = self.layout.model_size
         self.v_real = graph.num_nodes
         self.v_pad = math.ceil(graph.num_nodes / m) * m
+        self._perm = None  # old node id -> trained row (a2a interleave)
+        if config.row_exchange == "a2a" and m > 1:
+            from come_tpu.parallel.exchange import interleave_permutation
+
+            # community-sorted inputs cluster a walk's rows on one shard;
+            # striping ids across shards keeps the a2a buckets balanced
+            self._perm = interleave_permutation(graph.num_nodes, m)
+            graph = graph.permute(self._perm)
         super().__init__(graph, config, key)
         # re-init state padded + sharded
         if self.v_pad != self.v_real:
@@ -157,6 +165,16 @@ class ShardedComETrainer(ComETrainer):
         dim = node_emb.shape[1]
 
         if cfg.negative_mode == "shared":
+            if cfg.row_exchange == "a2a" and self.layout.model_size > 1:
+                M = self.layout.model_size
+                if mb % M:  # model-sliced micro-batches: pad mb up to M
+                    extra = M - mb % M
+                    c2 = jnp.pad(c2, ((0, 0), (0, extra)))
+                    x2 = jnp.pad(x2, ((0, 0), (0, extra)))
+                    m2 = jnp.pad(m2, ((0, 0), (0, extra)))
+                return self._shared_micro_scan_a2a(
+                    node_emb, ctx_emb, c2, x2, m2, key, lr, tie_tables
+                )
             return self._shared_micro_scan(
                 node_emb, ctx_emb, c2, x2, m2, key, lr, tie_tables
             )
@@ -254,6 +272,93 @@ class ShardedComETrainer(ComETrainer):
         )
         loss = jax.lax.psum(jnp.sum(losses), "data")
         npair = jax.lax.psum(jnp.sum(npairs), "data")
+        return node_emb, ctx_emb, loss, npair
+
+    def _shared_micro_scan_a2a(
+        self, node_emb, ctx_emb, c2, x2, m2, key, lr, tie_tables
+    ):
+        """Shared-negative micro-steps with the bucketed all-to-all exchange
+        (parallel/exchange.py): the micro-batch is ALSO sliced over 'model'
+        (each of the D*M devices trains mb/M pairs — no duplicated compute),
+        rows travel owner<->worker in capacity-C buckets, and gradient rows
+        ride the same buckets back.  Pairs whose center or context bucket
+        overflowed are skipped that micro-step (served mask; ~never at the
+        default slack thanks to the id interleave)."""
+        from come_tpu.parallel.exchange import make_exchange_plan
+
+        cfg = self.cfg
+        M = self.layout.model_size
+        KP = cfg.shared_negatives
+        nw = cfg.negative / KP
+        rows_per = self.v_pad // M
+        n_micro, mb = c2.shape
+        mbm = mb // M
+        cap_pairs = max(1, int(math.ceil(mbm / M * cfg.a2a_capacity_slack)))
+        cap_out = max(
+            1, int(math.ceil((mbm + KP) / M * cfg.a2a_capacity_slack))
+        )
+        cap_all = max(
+            1, int(math.ceil((2 * mbm + KP) / M * cfg.a2a_capacity_slack))
+        )
+        from come_tpu.losses.sgns_block import sgns_block_grads_from_rows
+
+        # decorrelate pools/draws across every (data, model) worker
+        dkey = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        dkey = jax.random.fold_in(dkey, jax.lax.axis_index("model"))
+        keys = jax.random.split(dkey, n_micro)
+        mi = jax.lax.axis_index("model")
+
+        def micro(carry, xs):
+            emb_in, emb_out = carry
+            mc, mx, mm, k = xs
+            mc = jax.lax.dynamic_slice_in_dim(mc, mi * mbm, mbm)
+            mx = jax.lax.dynamic_slice_in_dim(mx, mi * mbm, mbm)
+            mm = jax.lax.dynamic_slice_in_dim(mm, mi * mbm, mbm)
+            pool = sample_alias(self.accept, self.alias, k, (KP,))
+            if tie_tables:
+                idx = jnp.concatenate([mc, mx, pool])
+                plan = make_exchange_plan(idx, rows_per, cap_all)
+                rows = plan.gather(emb_in)
+                phi, cpos, cneg = (
+                    rows[:mbm], rows[mbm:2 * mbm], rows[2 * mbm:]
+                )
+                srv = plan.served
+                mm = mm * srv[:mbm] * srv[mbm:2 * mbm]
+            else:
+                plan_in = make_exchange_plan(mc, rows_per, cap_pairs)
+                plan_out = make_exchange_plan(
+                    jnp.concatenate([mx, pool]), rows_per, cap_out
+                )
+                phi = plan_in.gather(emb_in)
+                rows = plan_out.gather(emb_out)
+                cpos, cneg = rows[:mbm], rows[mbm:]
+                mm = mm * plan_in.served * plan_out.served[:mbm]
+            loss, npairs, (d_phi, d_cpos, d_cneg) = (
+                sgns_block_grads_from_rows(phi, cpos, cneg, mm, nw)
+            )
+            if tie_tables:
+                upd = jnp.concatenate([d_phi, d_cpos, d_cneg]) * (-lr)
+                delta = plan.scatter_add(jnp.zeros_like(emb_in), upd)
+                delta = jax.lax.psum(delta, "data")
+                emb_in = emb_in + delta
+                emb_out = emb_in
+            else:
+                din = plan_in.scatter_add(
+                    jnp.zeros_like(emb_in), d_phi * (-lr)
+                )
+                dout = plan_out.scatter_add(
+                    jnp.zeros_like(emb_out),
+                    jnp.concatenate([d_cpos, d_cneg]) * (-lr),
+                )
+                emb_in = emb_in + jax.lax.psum(din, "data")
+                emb_out = emb_out + jax.lax.psum(dout, "data")
+            return (emb_in, emb_out), (loss, npairs)
+
+        (node_emb, ctx_emb), (losses, npairs) = jax.lax.scan(
+            micro, (node_emb, ctx_emb), (c2, x2, m2, keys)
+        )
+        loss = jax.lax.psum(jnp.sum(losses), ("data", "model"))
+        npair = jax.lax.psum(jnp.sum(npairs), ("data", "model"))
         return node_emb, ctx_emb, loss, npair
 
     def _use_walk_kernel(self) -> bool:
@@ -539,9 +644,15 @@ class ShardedComETrainer(ComETrainer):
         return float(ll)
 
     def embeddings(self) -> np.ndarray:
-        return np.asarray(self.state.params.node_emb[: self.v_real])
+        emb = np.asarray(self.state.params.node_emb[: self.v_real])
+        if self._perm is not None:  # back to original node ids
+            emb = emb[self._perm]
+        return emb
 
     def communities(self) -> np.ndarray:
-        return np.asarray(
+        com = np.asarray(
             jnp.argmax(self.state.params.pi[: self.v_real], axis=1)
         )
+        if self._perm is not None:
+            com = com[self._perm]
+        return com
