@@ -362,26 +362,40 @@ class ShardedComETrainer(ComETrainer):
         return node_emb, ctx_emb, loss, npair
 
     def _use_walk_kernel(self) -> bool:
-        """Walk-banded fused kernel under the mesh: data-parallel only
-        (model=1 keeps the full table VMEM-resident per chip; each data
-        shard runs the kernel on its walk shard and the parameter deltas
-        are psum'd over ICI — sum-of-deltas is the synchronous analog of D
-        hogwild workers sharing one table).  The collision envelope widens
-        by the data-axis size: D shards' groups land on the table at once."""
-        if self.layout.model_size != 1:
-            return False
-        if not super()._use_walk_kernel():
-            return False
-        if self._walk_table_dtype() != jnp.float32:
-            # bf16-resident tables under the mesh (psum of bf16 deltas)
-            # are a round-2 item; fall back to the XLA path for now
-            return False
+        """Walk-banded fused kernel under the mesh.
+
+        model=1 (data-parallel tier): the full table stays VMEM-resident
+        per chip; each data shard runs the kernel on its walk shard and the
+        parameter deltas are psum'd over ICI — sum-of-deltas is the
+        synchronous analog of D hogwild workers sharing one table.
+
+        model>1 (row-sharded tier, parallel/walk_exchange.py): tables live
+        as HBM row shards with NO VMEM residency cap on V; each of the D*M
+        workers gathers its macro step's unique rows over ICI into a
+        compact VMEM table, runs the unchanged kernel, and routes delta
+        rows back to their owners.  Requires the a2a exchange (the id
+        interleave keeps owner buckets balanced).
+
+        The collision envelope widens by the worker count: all shards'
+        groups land on the table within one synchronous step."""
         cfg = self.cfg
+        workers = self.layout.data_size * self.layout.model_size
+        if self.layout.model_size != 1:
+            if cfg.row_exchange != "a2a":
+                return False
+            if not self._walk_kernel_cfg_ok():
+                return False
+        else:
+            if not super()._use_walk_kernel():
+                return False
+            if self._walk_table_dtype() != jnp.float32:
+                # bf16-resident tables under the mesh (psum of bf16 deltas)
+                # are a round-2 item; fall back to the XLA path for now
+                return False
         nw = 1024 // 128
         pairs_per_group = nw * cfg.walk_length * (cfg.window + 1) / 2
         collisions = (
-            2.0 * pairs_per_group * self.layout.data_size
-            / max(self.graph.num_nodes, 1)
+            2.0 * pairs_per_group * workers / max(self.graph.num_nodes, 1)
         )
         return collisions <= 16.0
 

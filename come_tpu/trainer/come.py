@@ -103,25 +103,34 @@ class ComETrainer:
         self._walk_cache = None
         self._o1_epochs_done = 0
 
-    def _use_walk_kernel(self) -> bool:
-        """Walk-banded fused kernel eligibility for O1 (the fastest path):
-        shared negatives, tables in VMEM, walk length <= 128, no subsample
-        (the in-kernel mask doesn't model occurrence dropping), and a graph
-        large enough that one walk-group's synchronous update keeps per-row
-        collisions bounded (the stability envelope; tiny graphs like Karate
-        fall back to the micro-batched paths)."""
+    def _walk_kernel_cfg_ok(self) -> bool:
+        """Config/backend gates for the walk-banded fused kernel (shared by
+        the single-device, data-parallel, and row-sharded tiers): shared
+        negatives, walk length <= 128, no subsample (the in-kernel mask
+        doesn't model occurrence dropping), Pallas enabled for the backend."""
         cfg = self.cfg
         if cfg.pallas == "never" or cfg.negative_mode != "shared":
             return False
         if cfg.walk_length > 128 or cfg.down_sample > 0:
-            return False
-        if self._walk_table_dtype() is None:
             return False
         if cfg.pallas != "always":
             import jax
 
             if jax.default_backend() != "tpu":
                 return False
+        return True
+
+    def _use_walk_kernel(self) -> bool:
+        """Walk-banded fused kernel eligibility for O1 (the fastest path):
+        the cfg gates above, tables in VMEM, and a graph large enough that
+        one walk-group's synchronous update keeps per-row collisions bounded
+        (the stability envelope; tiny graphs like Karate fall back to the
+        micro-batched paths)."""
+        cfg = self.cfg
+        if not self._walk_kernel_cfg_ok():
+            return False
+        if self._walk_table_dtype() is None:
+            return False
         nw = 1024 // 128  # slots per group / padded walk length
         pairs_per_group = nw * cfg.walk_length * (cfg.window + 1) / 2
         collisions_per_row = 2.0 * pairs_per_group / max(self.graph.num_nodes, 1)
