@@ -155,6 +155,7 @@ class ShardedComETrainer(ComETrainer):
         mb = max(1, min(cfg.batch_pairs // D, P_local))
         n_micro = math.ceil(P_local / mb)
         pad = n_micro * mb - P_local
+        one = jnp.float32(1.0)
 
         c2 = jnp.pad(c.reshape(P_local), (0, pad)).reshape(n_micro, mb)
         x2 = jnp.pad(x.reshape(P_local), (0, pad)).reshape(n_micro, mb)
@@ -220,7 +221,7 @@ class ShardedComETrainer(ComETrainer):
         )
         loss = jax.lax.psum(jnp.sum(losses), "data")
         npair = jax.lax.psum(jnp.sum(npairs), "data")
-        return node_emb, ctx_emb, loss, npair
+        return node_emb, ctx_emb, loss, npair, one
 
     def _shared_micro_scan(
         self, node_emb, ctx_emb, c2, x2, m2, key, lr, tie_tables
@@ -272,7 +273,7 @@ class ShardedComETrainer(ComETrainer):
         )
         loss = jax.lax.psum(jnp.sum(losses), "data")
         npair = jax.lax.psum(jnp.sum(npairs), "data")
-        return node_emb, ctx_emb, loss, npair
+        return node_emb, ctx_emb, loss, npair, jnp.float32(1.0)
 
     def _shared_micro_scan_a2a(
         self, node_emb, ctx_emb, c2, x2, m2, key, lr, tie_tables
@@ -323,7 +324,10 @@ class ShardedComETrainer(ComETrainer):
                     rows[:mbm], rows[mbm:2 * mbm], rows[2 * mbm:]
                 )
                 srv = plan.served
-                mm = mm * srv[:mbm] * srv[mbm:2 * mbm]
+                srv_pairs = (srv[:mbm] & srv[mbm:2 * mbm]).astype(
+                    jnp.float32
+                )
+                mm = mm * srv_pairs
             else:
                 plan_in = make_exchange_plan(mc, rows_per, cap_pairs)
                 plan_out = make_exchange_plan(
@@ -332,7 +336,10 @@ class ShardedComETrainer(ComETrainer):
                 phi = plan_in.gather(emb_in)
                 rows = plan_out.gather(emb_out)
                 cpos, cneg = rows[:mbm], rows[mbm:]
-                mm = mm * plan_in.served * plan_out.served[:mbm]
+                srv_pairs = (
+                    plan_in.served & plan_out.served[:mbm]
+                ).astype(jnp.float32)
+                mm = mm * srv_pairs
             loss, npairs, (d_phi, d_cpos, d_cneg) = (
                 sgns_block_grads_from_rows(phi, cpos, cneg, mm, nw)
             )
@@ -352,16 +359,34 @@ class ShardedComETrainer(ComETrainer):
                 )
                 emb_in = emb_in + jax.lax.psum(din, "data")
                 emb_out = emb_out + jax.lax.psum(dout, "data")
-            return (emb_in, emb_out), (loss, npairs)
+            return (emb_in, emb_out), (loss, npairs, jnp.mean(srv_pairs))
 
-        (node_emb, ctx_emb), (losses, npairs) = jax.lax.scan(
+        (node_emb, ctx_emb), (losses, npairs, srv) = jax.lax.scan(
             micro, (node_emb, ctx_emb), (c2, x2, m2, keys)
         )
         loss = jax.lax.psum(jnp.sum(losses), ("data", "model"))
         npair = jax.lax.psum(jnp.sum(npairs), ("data", "model"))
-        return node_emb, ctx_emb, loss, npair
+        served = jax.lax.pmean(
+            jnp.mean(srv), ("data", "model")
+        )  # no silent coverage caps: bucket-overflow skips are monitorable
+        return node_emb, ctx_emb, loss, npair, served
 
-    def _use_walk_kernel(self) -> bool:
+    def _rowsharded_walk_shapes(self, b_local: int | None = None):
+        """Static per-worker shapes for the row-sharded walk-kernel tier:
+        (walks per worker, groups, negative pools)."""
+        from come_tpu.ops.pallas_walk_sgns import NWL
+
+        cfg = self.cfg
+        if b_local is None:
+            n_starts = self.v_real * cfg.walks_per_node
+            b_global = max(1, min(cfg.batch_walks, n_starts))
+            b_local = max(1, b_global // self.layout.data_size)
+        b_w = max(1, b_local // self.layout.model_size)
+        n_groups = -(-b_w // (NWL // 128))
+        n_pools = -(-n_groups // cfg.walk_pool_refresh)
+        return b_w, n_groups, n_pools
+
+    def _use_walk_kernel(self, b_local: int | None = None) -> bool:
         """Walk-banded fused kernel under the mesh.
 
         model=1 (data-parallel tier): the full table stays VMEM-resident
@@ -385,6 +410,13 @@ class ShardedComETrainer(ComETrainer):
                 return False
             if not self._walk_kernel_cfg_ok():
                 return False
+            # compact-table VMEM gate: the worker's kernel tables are
+            # [U, d] f32 with U = walks*L + pools*KP — unbounded by V but
+            # not by config; cap at the kernel's ~48MB-per-table budget
+            b_w, _, n_pools = self._rowsharded_walk_shapes(b_local)
+            u = b_w * cfg.walk_length + n_pools * cfg.shared_negatives
+            if u * cfg.dim * 4 > 48 * 1024 * 1024:
+                return False
         else:
             if not super()._use_walk_kernel():
                 return False
@@ -399,13 +431,59 @@ class ShardedComETrainer(ComETrainer):
         )
         return collisions <= 16.0
 
+    def _use_banded_sharded(self, b_local: int | None = None) -> bool:
+        """Banded-XLA tier (HBM tables, no VMEM cap) under the mesh.
+
+        model=1: each data shard runs the packed banded step on its walk
+        shard against its table replica; deltas psum over 'data' per macro
+        step (sum-of-deltas, the dp envelope).
+
+        model>1: row-sharded packed tables + per-block bucketed a2a
+        (walk_exchange.banded_walk_step_rowsharded) — the tier that carries
+        BASELINE config 5 (multi-host x large-V).  Requires the a2a
+        exchange like the kernel tier."""
+        cfg = self.cfg
+        if cfg.banded == "never" or cfg.negative_mode != "shared":
+            return False
+        if cfg.down_sample > 0:
+            return False
+        if self.layout.model_size > 1 and cfg.row_exchange != "a2a":
+            return False
+        if cfg.banded == "always":
+            return True
+        if jax.default_backend() != "tpu":
+            return False
+        workers = self.layout.data_size * self.layout.model_size
+        b_w, _, _ = self._rowsharded_walk_shapes(b_local)
+        bc = min(cfg.banded_walk_block, b_w)
+        pairs_per_block = bc * cfg.walk_length * (cfg.window + 1) / 2
+        collisions = (
+            2.0 * pairs_per_block * workers / max(self.graph.num_nodes, 1)
+        )
+        return collisions <= 16.0
+
     def _o1_epoch(self, state: TrainState, start_perm: jnp.ndarray):
         """shard_map body: start_perm [S, B] arrives sliced over 'data'."""
         cfg = self.cfg
         # this runs INSIDE shard_map: start_perm is already the local slice
         S, B_local = start_perm.shape
         B_global = B_local * self.layout.data_size
-        use_walk_kernel = self._use_walk_kernel()
+        use_walk_kernel = self._use_walk_kernel(B_local)
+        rowsharded = use_walk_kernel and self.layout.model_size > 1
+        use_banded = (not use_walk_kernel) and self._use_banded_sharded(
+            B_local
+        )
+        if use_banded:
+            from come_tpu.losses.sgns_banded import pack_tables
+
+            # pack [V/M, d] x2 -> [V/M, 2d] for the epoch (see
+            # losses/sgns_banded.py: the tier is row-rate bound and
+            # phi/ctx always share indices)
+            p = state.params
+            state = state.replace(params=p.replace(
+                node_emb=pack_tables(p.node_emb, p.ctx_emb),
+                ctx_emb=jnp.zeros((0, 0), p.ctx_emb.dtype),
+            ))
 
         # whole-epoch walk generation in one batched call (see the base
         # trainer: the walker is dispatch-latency bound, so one wide scan
@@ -426,14 +504,97 @@ class ShardedComETrainer(ComETrainer):
             key = jax.random.fold_in(key, 7)
             _, kw, kp, kn = jax.random.split(dkey, 4)
             lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
-            if use_walk_kernel:
+            interp = (cfg.pallas == "always"
+                      and jax.default_backend() != "tpu")
+            served = jnp.float32(1.0)
+            if rowsharded:
+                from come_tpu.parallel.walk_exchange import (
+                    fused_walk_step_rowsharded,
+                )
+
+                # the walk batch is ALSO sliced over 'model': each of the
+                # D*M workers trains its own B_local/M walks on a compact
+                # ICI-gathered table (parallel/walk_exchange.py)
+                M = self.layout.model_size
+                mi = jax.lax.axis_index("model")
+                B_w, _, n_pools = self._rowsharded_walk_shapes(B_local)
+                wk = jax.lax.dynamic_slice_in_dim(walks, mi * B_w, B_w)
+                mkey = jax.random.fold_in(dkey, 7919 + mi)  # per-worker
+                kpp, knn = jax.random.split(mkey)
+                sneg = sample_alias(
+                    self.accept, self.alias, knn,
+                    (n_pools, cfg.shared_negatives),
+                )
+                seed = jax.random.randint(
+                    kpp, (), 0, 2**31 - 1, dtype=jnp.int32
+                )
+                ne, ce, loss, npairs, served = fused_walk_step_rowsharded(
+                    params.node_emb, params.ctx_emb, wk, sneg, lr,
+                    cfg.negative / cfg.shared_negatives, seed,
+                    window=cfg.window,
+                    capacity_slack=cfg.a2a_capacity_slack,
+                    pool_refresh=cfg.walk_pool_refresh,
+                    mxu_bf16=cfg.walk_kernel_bf16,
+                    interpret=interp,
+                )
+                served = jax.lax.pmean(served, ("data", "model"))
+            elif use_banded and self.layout.model_size > 1:
+                from come_tpu.parallel.walk_exchange import (
+                    banded_walk_step_rowsharded,
+                )
+
+                M = self.layout.model_size
+                mi = jax.lax.axis_index("model")
+                B_w = B_local // M
+                wk = jax.lax.dynamic_slice_in_dim(walks, mi * B_w, B_w)
+                mkey = jax.random.fold_in(dkey, 7919 + mi)
+                kpool, kwin = jax.random.split(mkey)
+                sneg = sample_alias(
+                    self.accept, self.alias, kpool,
+                    (cfg.shared_negatives,),
+                )
+                ne, loss, npairs, served = banded_walk_step_rowsharded(
+                    params.node_emb, wk, sneg, lr,
+                    cfg.negative / cfg.shared_negatives, kwin,
+                    window=cfg.window,
+                    walk_block=cfg.banded_walk_block,
+                    capacity_slack=cfg.a2a_capacity_slack,
+                    mxu_bf16=cfg.walk_kernel_bf16,
+                )
+                served = jax.lax.pmean(served, ("data", "model"))
+                ce = params.ctx_emb  # zero-size placeholder while packed
+            elif use_banded:
+                from come_tpu.losses.sgns_banded import (
+                    banded_walk_sgns_step_packed,
+                )
+
+                kpool, kwin = jax.random.split(
+                    jax.random.fold_in(dkey, 7919)
+                )
+                sneg = sample_alias(
+                    self.accept, self.alias, kpool,
+                    (cfg.shared_negatives,),
+                )
+                cmb0 = params.node_emb  # packed, replicated at model=1
+                cmb1, loss, npairs = banded_walk_sgns_step_packed(
+                    cmb0, walks, sneg, lr,
+                    cfg.negative / cfg.shared_negatives, kwin,
+                    window=cfg.window,
+                    walk_block=cfg.banded_walk_block,
+                    mxu_bf16=cfg.walk_kernel_bf16,
+                    sorted_scatter=cfg.banded_sorted_scatter,
+                )
+                # sum-of-deltas over the data axis (the dp envelope)
+                ne = cmb0 + jax.lax.psum(cmb1 - cmb0, "data")
+                loss = jax.lax.psum(loss, "data")
+                npairs = jax.lax.psum(npairs, "data")
+                ce = params.ctx_emb  # zero-size placeholder while packed
+            elif use_walk_kernel:
                 from come_tpu.ops.pallas_walk_sgns import (
                     NWL,
                     fused_walk_sgns_step,
                 )
 
-                interp = (cfg.pallas == "always"
-                          and jax.default_backend() != "tpu")
                 n_groups = -(-B_local // (NWL // 128))
                 n_pools = -(-n_groups // cfg.walk_pool_refresh)
                 sneg = sample_alias(
@@ -466,19 +627,27 @@ class ShardedComETrainer(ComETrainer):
                         self.accept, self.alias, kn,
                         c.shape + (cfg.negative,),
                     )
-                ne, ce, loss, npairs = self._sgns_microbatched_sharded(
-                    params.node_emb, params.ctx_emb, c, x, negs, m, lr, kn,
-                    tie_tables=False,
+                ne, ce, loss, npairs, served = (
+                    self._sgns_microbatched_sharded(
+                        params.node_emb, params.ctx_emb, c, x, negs, m,
+                        lr, kn, tie_tables=False,
+                    )
                 )
             params = params.replace(node_emb=ne, ctx_emb=ce)
             words = words + jnp.float32(B_global * cfg.walk_length)
-            return (params, key, words), (loss, npairs)
+            return (params, key, words), (loss, npairs, served)
 
-        (params, key, words), (losses, npairs) = jax.lax.scan(
+        (params, key, words), (losses, npairs, srv) = jax.lax.scan(
             body, (state.params, state.key, state.words_seen), walks_all
         )
+        if use_banded:
+            from come_tpu.losses.sgns_banded import unpack_tables
+
+            ne, ce = unpack_tables(params.node_emb)
+            params = params.replace(node_emb=ne, ctx_emb=ce)
         state = TrainState(params=params, key=key, words_seen=words)
-        return state, jnp.sum(losses) / jnp.maximum(jnp.sum(npairs), 1.0)
+        loss = jnp.sum(losses) / jnp.maximum(jnp.sum(npairs), 1.0)
+        return state, loss, jnp.mean(srv)
 
     def _o2_epoch(self, state: TrainState, src: jnp.ndarray, dst: jnp.ndarray):
         cfg = self.cfg
@@ -496,7 +665,7 @@ class ShardedComETrainer(ComETrainer):
                 negs = sample_alias(
                     self.accept, self.alias, kn, s.shape + (cfg.negative,)
                 )
-            ne, _, loss, npairs = self._sgns_microbatched_sharded(
+            ne, _, loss, npairs, served = self._sgns_microbatched_sharded(
                 params.node_emb,
                 params.node_emb,
                 s,
@@ -509,13 +678,14 @@ class ShardedComETrainer(ComETrainer):
             )
             params = params.replace(node_emb=ne)
             words = words + jnp.float32(B_global)
-            return (params, key, words), (loss, npairs)
+            return (params, key, words), (loss, npairs, served)
 
-        (params, key, words), (losses, npairs) = jax.lax.scan(
+        (params, key, words), (losses, npairs, srv) = jax.lax.scan(
             body, (state.params, state.key, state.words_seen), (src, dst)
         )
         state = TrainState(params=params, key=key, words_seen=words)
-        return state, jnp.sum(losses) / jnp.maximum(jnp.sum(npairs), 1.0)
+        loss = jnp.sum(losses) / jnp.maximum(jnp.sum(npairs), 1.0)
+        return state, loss, jnp.mean(srv)
 
     # ------------------------------------------------------------- jit setup
 
@@ -529,7 +699,7 @@ class ShardedComETrainer(ComETrainer):
                 self._o1_epoch,
                 mesh=mesh,
                 in_specs=(st, P(None, "data")),
-                out_specs=(st, P()),
+                out_specs=(st, P(), P()),
                 check_vma=False,
             ),
             donate_argnums=0,
@@ -539,7 +709,7 @@ class ShardedComETrainer(ComETrainer):
                 self._o2_epoch,
                 mesh=mesh,
                 in_specs=(st, P(None, "data"), P(None, "data")),
-                out_specs=(st, P()),
+                out_specs=(st, P(), P()),
                 check_vma=False,
             ),
             donate_argnums=0,
@@ -617,9 +787,12 @@ class ShardedComETrainer(ComETrainer):
         lay = self.layout
         v = self.v_real
         D = lay.data_size
+        # walk batches divide over 'data'; the row-sharded walk-kernel tier
+        # additionally slices each data shard's walks over 'model'
+        g = D * lay.model_size
         n_starts = v * cfg.walks_per_node
         B = min(cfg.batch_walks, n_starts)
-        B = max(D, (B // D) * D)  # divisible by data axis
+        B = max(g, (B // g) * g)
         S = math.ceil(n_starts / B)
         self.host_key, k = jax.random.split(self.host_key)
         perm = jax.random.permutation(
@@ -627,8 +800,55 @@ class ShardedComETrainer(ComETrainer):
         )
         perm = jnp.resize(perm, (S, B))
         perm = lay.shard(perm, P(None, "data"))
-        self.state, loss = self._o1_epoch_jit(self.state, perm)
+        self._log_o1_tier(B // D)
+        self.state, loss, served = self._o1_epoch_jit(self.state, perm)
+        self.last_o1_served = float(served)
+        self._warn_unserved("o1", self.last_o1_served)
         return float(loss)
+
+    def o1_tier(self, b_local: int | None = None) -> str:
+        """Which O1 path the current config/mesh selects (for logs/tests)."""
+        if self._use_walk_kernel(b_local):
+            return (
+                "walk-kernel-rowsharded"
+                if self.layout.model_size > 1
+                else "walk-kernel-dp"
+            )
+        if self._use_banded_sharded(b_local):
+            return (
+                "banded-rowsharded"
+                if self.layout.model_size > 1
+                else "banded-dp"
+            )
+        if self.cfg.negative_mode == "shared":
+            return (
+                "xla-a2a"
+                if self.cfg.row_exchange == "a2a"
+                and self.layout.model_size > 1
+                else "xla-psum"
+            )
+        return "xla-per-pair"
+
+    def _log_o1_tier(self, b_local: int) -> None:
+        tier = self.o1_tier(b_local)
+        if getattr(self, "_tier_logged", None) != tier:
+            self._tier_logged = tier
+            import logging
+
+            logging.getLogger(__name__).info(
+                "o1 tier: %s (mesh %dx%d)", tier,
+                self.layout.data_size, self.layout.model_size,
+            )
+
+    @staticmethod
+    def _warn_unserved(phase: str, served: float) -> None:
+        if served < 0.999:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "%s a2a bucket overflow: served fraction %.4f < 1 "
+                "(raise a2a_capacity_slack)", phase, served,
+            )
 
     def o2_epoch(self) -> float:
         cfg = self.cfg
@@ -644,7 +864,9 @@ class ShardedComETrainer(ComETrainer):
         dst = jnp.resize(self.arc_dst[perm], (S, B))
         src = lay.shard(src, P(None, "data"))
         dst = lay.shard(dst, P(None, "data"))
-        self.state, loss = self._o2_epoch_jit(self.state, src, dst)
+        self.state, loss, served = self._o2_epoch_jit(self.state, src, dst)
+        self.last_o2_served = float(served)
+        self._warn_unserved("o2", self.last_o2_served)
         return float(loss)
 
     def fit_gmm(self) -> float:

@@ -82,7 +82,8 @@ def test_walk_kernel_data_parallel_mesh():
 
 
 def test_walk_kernel_requires_model_1():
-    """Row-sharded tables (model>1) fall back to the XLA sharded path."""
+    """model>1 with the psum exchange falls back to the XLA sharded path
+    (the row-sharded kernel tier needs the bucketed a2a)."""
     import jax
 
     from come_tpu.parallel import ShardedComETrainer, make_mesh
@@ -90,5 +91,94 @@ def test_walk_kernel_requires_model_1():
     g, _ = sbm_graph(512, 4, p_in=0.2, p_out=0.01, seed=3)
     mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
     t = ShardedComETrainer(g, _cfg(), mesh)
+    assert t.cfg.row_exchange == "psum"
     assert not t._use_walk_kernel()
+    assert t.o1_tier() == "xla-psum"
     assert np.isfinite(t.o1_epoch())  # XLA path still trains
+
+
+def test_walk_kernel_rowsharded_trains():
+    """The model>1 row-sharded fused-kernel tier (walk_exchange.py): walks
+    model-sliced, rows exchanged via bucketed a2a into compact VMEM tables,
+    deltas routed back to owners.  Round-1 regression: this config used to
+    select the kernel but feed GLOBAL walk ids to the LOCAL table shard,
+    silently training garbage (loss ~8.5e33 on this exact mesh)."""
+    import jax
+
+    from come_tpu.parallel import ShardedComETrainer, make_mesh
+
+    g, labels = sbm_graph(512, 4, p_in=0.2, p_out=0.01, seed=3)
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    t = ShardedComETrainer(g, _cfg(row_exchange="a2a"), mesh)
+    assert t._use_walk_kernel()
+    assert t.o1_tier() == "walk-kernel-rowsharded"
+    first = t.o1_epoch()
+    assert np.isfinite(first) and first < 10.0  # not the 8.5e33 garbage
+    assert t.last_o1_served == 1.0  # exposed + no bucket overflow here
+    losses = [t.o1_epoch() for _ in range(6)]
+    assert losses[-1] < first
+    assert np.abs(t.embeddings()).max() < 10.0
+    t.fit_gmm()
+    assert nmi_score(labels, t.communities()) > 0.5
+    # replicas of each table shard stay bit-identical across 'data'
+    by_index: dict = {}
+    for s in t.state.params.node_emb.addressable_shards:
+        key = str(s.index)
+        if key in by_index:
+            np.testing.assert_array_equal(by_index[key], np.asarray(s.data))
+        else:
+            by_index[key] = np.asarray(s.data)
+    assert len(by_index) == 2
+
+
+def test_walk_kernel_rowsharded_matches_xla_quality():
+    """Row-sharded kernel tier reaches the XLA sharded path's loss class
+    on the same graph/schedule (stream-wise RNG differs; quality parity)."""
+    import jax
+
+    from come_tpu.parallel import ShardedComETrainer, make_mesh
+
+    g, labels = sbm_graph(512, 4, p_in=0.2, p_out=0.01, seed=3)
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    tk = ShardedComETrainer(g, _cfg(row_exchange="a2a"), mesh)
+    assert tk.o1_tier() == "walk-kernel-rowsharded"
+    tx = ShardedComETrainer(g, _cfg(pallas="never"), mesh)
+    assert tx.o1_tier() == "xla-psum"
+    for _ in range(5):
+        lk = tk.o1_epoch()
+        lx = tx.o1_epoch()
+    assert np.isfinite(lk) and np.isfinite(lx)
+    assert lk < 1.35 * lx, (lk, lx)
+
+
+def test_walk_kernel_rowsharded_vmem_gate():
+    """The compact-table footprint (U = walks*L + pools*KP rows) must fit
+    the kernel's per-table VMEM budget; oversized walk batches fall back."""
+    import jax
+
+    from come_tpu.parallel import ShardedComETrainer, make_mesh
+
+    g, _ = sbm_graph(512, 4, p_in=0.2, p_out=0.01, seed=3)
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    # U ~ (batch_walks/(D*M)) * L = 131072/4*16 = 524288 rows
+    # -> 524288*128*4 = 256MB > 48MB per table: gate must reject
+    # (walks_per_node=512 so n_starts doesn't clamp the batch below that)
+    t = ShardedComETrainer(
+        g,
+        _cfg(row_exchange="a2a", batch_walks=131072, walks_per_node=512),
+        mesh,
+    )
+    assert not t._use_walk_kernel()
+    assert t.o1_tier() == "xla-a2a"
+
+
+def test_collision_envelope_boundary():
+    """Pin the stability-envelope threshold: collisions_per_row <= 16 with
+    collisions = 2 * NW * L * (W+1)/2 / V.  At L=16, W=4, NW=8 the bound
+    flips exactly at V = 40."""
+    gb, _ = sbm_graph(40, 4, p_in=0.3, p_out=0.05, seed=0)
+    tb = ComETrainer(gb, _cfg())
+    assert tb._use_walk_kernel()  # collisions == 16.0, inclusive bound
+    gs, _ = sbm_graph(39, 3, p_in=0.3, p_out=0.05, seed=0)
+    ts = ComETrainer(gs, _cfg(num_communities=3))
+    assert not ts._use_walk_kernel()  # 16.4 > 16: rejected
