@@ -879,14 +879,27 @@ class ShardedComETrainer(ComETrainer):
         self.state, ll = self._gmm_fit_jit(self.state, k, mask)
         return float(ll)
 
+    def _to_host(self, x) -> np.ndarray:
+        """Materialize a (possibly non-fully-addressable) global array on
+        every host: replicate via an all-gather-inserting jit when
+        multi-host, so np.asarray sees only addressable shards."""
+        if jax.process_count() > 1:
+            from jax.sharding import NamedSharding
+
+            x = jax.jit(
+                lambda a: a,
+                out_shardings=NamedSharding(self.layout.mesh, P()),
+            )(x)
+        return np.asarray(x)
+
     def embeddings(self) -> np.ndarray:
-        emb = np.asarray(self.state.params.node_emb[: self.v_real])
+        emb = self._to_host(self.state.params.node_emb[: self.v_real])
         if self._perm is not None:  # back to original node ids
             emb = emb[self._perm]
         return emb
 
     def communities(self) -> np.ndarray:
-        com = np.asarray(
+        com = self._to_host(
             jnp.argmax(self.state.params.pi[: self.v_real], axis=1)
         )
         if self._perm is not None:

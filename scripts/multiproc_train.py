@@ -1,0 +1,117 @@
+"""Multi-process training worker for the 2-process CPU simulation test.
+
+One process per "host" (SURVEY.md §4's multi-process testing requirement;
+VERDICT r1 item 3): each process owns 2 virtual CPU devices, the global
+('data','model') mesh spans both processes, and the embedding-table model
+shards therefore CROSS the process boundary — `MeshLayout.shard` must build
+global arrays from per-process addressable shards, and the a2a / psum
+collectives ride the cross-process transport.
+
+Run (from tests/test_multiprocess.py, or by hand):
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=2 \
+    python scripts/multiproc_train.py --coordinator localhost:PORT \
+        --num-processes 2 --process-id {0,1}
+
+Prints one parseable line per process:
+    MULTIPROC pid=<i> o1=<loss> o2=<loss> o3=<loss> nmi=<nmi> served=<f>
+Losses are psum'd globally, so both processes must print identical values —
+the test asserts it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--coordinator", required=True)
+    p.add_argument("--num-processes", type=int, required=True)
+    p.add_argument("--process-id", type=int, required=True)
+    p.add_argument("--tier", default="xla-a2a",
+                   choices=["xla-psum", "xla-a2a", "walk-kernel-rowsharded",
+                            "banded-rowsharded"])
+    args = p.parse_args(argv)
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=2"
+        ).strip()
+
+    import jax
+
+    # this environment's axon sitecustomize pins jax_platforms; the CPU
+    # simulation must override it before the backend initializes
+    jax.config.update("jax_platforms", "cpu")
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from come_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed(
+        args.coordinator, args.num_processes, args.process_id
+    )
+    assert jax.process_count() == args.num_processes
+    assert jax.local_device_count() == 2
+    n = len(jax.devices())
+    assert n == 2 * args.num_processes, n
+
+    import numpy as np
+
+    from come_tpu.config import ComEConfig
+    from come_tpu.evaluation import nmi_score
+    from come_tpu.graphs import sbm_graph
+    from come_tpu.parallel import ShardedComETrainer, make_mesh
+
+    # every process builds the same graph/config deterministically
+    g, labels = sbm_graph(256, 4, p_in=0.25, p_out=0.01, seed=7)
+    cfg = ComEConfig(
+        dim=32,
+        num_communities=4,
+        walk_length=16,
+        walks_per_node=2,
+        window=4,
+        negative_mode="shared",
+        shared_negatives=64,
+        pallas="never",
+        banded="never",
+        row_exchange="a2a" if "a2a" in args.tier or "rowsharded" in args.tier
+        else "psum",
+        batch_walks=32,
+        batch_edges=1024,
+        batch_pairs=2048,
+        outer_iters=0,
+        pretrain_epochs=10,
+        gmm_max_iter=15,
+        reg_covar=1e-2,
+    )
+    if args.tier == "walk-kernel-rowsharded":
+        cfg = cfg.replace(dim=128, pallas="always", shared_negatives=128)
+    elif args.tier == "banded-rowsharded":
+        cfg = cfg.replace(banded="always", banded_walk_block=8)
+
+    mesh = make_mesh(data=n // 2, model=2)  # model axis crosses processes
+    t = ShardedComETrainer(g, cfg, mesh)
+    if args.tier in ("walk-kernel-rowsharded", "banded-rowsharded"):
+        assert t.o1_tier() == args.tier, t.o1_tier()
+    l1 = last = t.o1_epoch()
+    for _ in range(9):
+        last = t.o1_epoch()
+    assert np.isfinite(last) and last < l1, (l1, last)
+    l2 = t.o2_epoch()
+    t.fit_gmm()
+    l3 = t.o3_pass()
+    nmi = nmi_score(labels, t.communities())
+    print(
+        f"MULTIPROC pid={args.process_id} o1={last:.6f} o2={l2:.6f} "
+        f"o3={l3:.6f} nmi={nmi:.4f} served={t.last_o1_served:.4f}",
+        flush=True,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,82 @@
+"""True multi-host semantics via a 2-process CPU simulation.
+
+SURVEY.md §4 requires multi-process testing without a pod; VERDICT r1
+item 3 requires `jax.distributed.initialize` + per-process shard
+construction to be exercised end-to-end.  Each worker process owns 2
+virtual CPU devices; the (2, 2) mesh's model axis spans BOTH processes, so
+row shards of the embedding table live on different processes and every
+collective crosses the process boundary.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+SCRIPT = REPO / "scripts" / "multiproc_train.py"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _launch(tier: str, timeout: float = 420.0):
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = os.environ.copy()
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env.pop("JAX_PLATFORMS", None)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    str(SCRIPT),
+                    "--coordinator", f"localhost:{port}",
+                    "--num-processes", "2",
+                    "--process-id", str(pid),
+                    "--tier", tier,
+                ],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                cwd=str(REPO),
+                env=env,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    return procs, outs
+
+
+def _result_line(out: str) -> str:
+    lines = [l for l in out.splitlines() if l.startswith("MULTIPROC")]
+    assert lines, f"no MULTIPROC result line in:\n{out}"
+    return lines[-1]
+
+
+@pytest.mark.parametrize(
+    "tier", ["xla-a2a", "banded-rowsharded", "walk-kernel-rowsharded"]
+)
+def test_two_process_cpu_training(tier):
+    procs, outs = _launch(tier)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"process failed:\n{out[-4000:]}"
+    r0, r1 = (_result_line(o) for o in outs)
+    # losses are globally psum'd: both hosts must report identical values
+    assert r0.split("pid=0 ")[1] == r1.split("pid=1 ")[1], (r0, r1)
+    nmi = float(r0.split("nmi=")[1].split()[0])
+    assert nmi > 0.3, r0
