@@ -646,8 +646,9 @@ class ShardedComETrainer(ComETrainer):
             ne, ce = unpack_tables(params.node_emb)
             params = params.replace(node_emb=ne, ctx_emb=ce)
         state = TrainState(params=params, key=key, words_seen=words)
-        loss = jnp.sum(losses) / jnp.maximum(jnp.sum(npairs), 1.0)
-        return state, loss, jnp.mean(srv)
+        npair = jnp.sum(npairs)
+        loss = jnp.sum(losses) / jnp.maximum(npair, 1.0)
+        return state, jnp.stack([loss, npair, jnp.mean(srv)])
 
     def _o2_epoch(self, state: TrainState, src: jnp.ndarray, dst: jnp.ndarray):
         cfg = self.cfg
@@ -684,8 +685,9 @@ class ShardedComETrainer(ComETrainer):
             body, (state.params, state.key, state.words_seen), (src, dst)
         )
         state = TrainState(params=params, key=key, words_seen=words)
-        loss = jnp.sum(losses) / jnp.maximum(jnp.sum(npairs), 1.0)
-        return state, loss, jnp.mean(srv)
+        npair = jnp.sum(npairs)
+        loss = jnp.sum(losses) / jnp.maximum(npair, 1.0)
+        return state, jnp.stack([loss, npair, jnp.mean(srv)])
 
     # ------------------------------------------------------------- jit setup
 
@@ -699,7 +701,7 @@ class ShardedComETrainer(ComETrainer):
                 self._o1_epoch,
                 mesh=mesh,
                 in_specs=(st, P(None, "data")),
-                out_specs=(st, P(), P()),
+                out_specs=(st, P()),
                 check_vma=False,
             ),
             donate_argnums=0,
@@ -709,7 +711,7 @@ class ShardedComETrainer(ComETrainer):
                 self._o2_epoch,
                 mesh=mesh,
                 in_specs=(st, P(None, "data"), P(None, "data")),
-                out_specs=(st, P(), P()),
+                out_specs=(st, P()),
                 check_vma=False,
             ),
             donate_argnums=0,
@@ -801,10 +803,15 @@ class ShardedComETrainer(ComETrainer):
         perm = jnp.resize(perm, (S, B))
         perm = lay.shard(perm, P(None, "data"))
         self._log_o1_tier(B // D)
-        self.state, loss, served = self._o1_epoch_jit(self.state, perm)
-        self.last_o1_served = float(served)
+        self.state, stats = self._o1_epoch_jit(self.state, perm)
+        return self._finish_o1(stats)
+
+    def o1_sync(self) -> float:
+        st = np.asarray(self._o1_stats)
+        self.last_o1_pairs = float(st[1])
+        self.last_o1_served = float(st[2])
         self._warn_unserved("o1", self.last_o1_served)
-        return float(loss)
+        return float(st[0])
 
     def o1_tier(self, b_local: int | None = None) -> str:
         """Which O1 path the current config/mesh selects (for logs/tests)."""
@@ -864,10 +871,15 @@ class ShardedComETrainer(ComETrainer):
         dst = jnp.resize(self.arc_dst[perm], (S, B))
         src = lay.shard(src, P(None, "data"))
         dst = lay.shard(dst, P(None, "data"))
-        self.state, loss, served = self._o2_epoch_jit(self.state, src, dst)
-        self.last_o2_served = float(served)
+        self.state, stats = self._o2_epoch_jit(self.state, src, dst)
+        return self._finish_o2(stats)
+
+    def o2_sync(self) -> float:
+        st = np.asarray(self._o2_stats)
+        self.last_o2_pairs = float(st[1])
+        self.last_o2_served = float(st[2])
         self._warn_unserved("o2", self.last_o2_served)
-        return float(loss)
+        return float(st[0])
 
     def fit_gmm(self) -> float:
         """Distributed EM over the row-sharded table (no host gather):
@@ -877,7 +889,7 @@ class ShardedComETrainer(ComETrainer):
         mask = (jnp.arange(self.v_pad) < self.v_real).astype(jnp.float32)
         mask = self.layout.shard(mask, P("model"))
         self.state, ll = self._gmm_fit_jit(self.state, k, mask)
-        return float(ll)
+        return float(ll) if self._sync_stats else None
 
     def _to_host(self, x) -> np.ndarray:
         """Materialize a (possibly non-fully-addressable) global array on

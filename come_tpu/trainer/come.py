@@ -102,6 +102,9 @@ class ComETrainer:
         self._host_feeder = None
         self._walk_cache = None
         self._o1_epochs_done = 0
+        self.last_o1_pairs = 0.0  # exact trained-pair counters (bench
+        self.last_o2_pairs = 0.0  # uses these, not estimates)
+        self._sync_stats = True
 
     def _walk_kernel_cfg_ok(self) -> bool:
         """Config/backend gates for the walk-banded fused kernel (shared by
@@ -463,7 +466,12 @@ class ComETrainer:
             ne, ce = unpack_tables(params.node_emb)
             params = params.replace(node_emb=ne, ctx_emb=ce)
         state = TrainState(params=params, key=key, words_seen=words)
-        return state, jnp.sum(losses) / jnp.maximum(jnp.sum(npairs), 1.0)
+        npair = jnp.sum(npairs)
+        loss = jnp.sum(losses) / jnp.maximum(npair, 1.0)
+        # ONE stacked stats vector -> ONE host transfer per epoch (the
+        # device may sit behind a high-latency tunnel; each D2H sync is
+        # ~a full round trip)
+        return state, jnp.stack([loss, npair])
 
     def o1_epoch(self) -> float:
         """One pass of `walks_per_node` walks from every node (SURVEY §3.2)."""
@@ -490,13 +498,33 @@ class ComETrainer:
                 self.host_key, kw = jax.random.split(self.host_key)
                 self._walk_cache = self._gen_walks_jit(kw, perm)
             self._o1_epochs_done += 1
-            self.state, loss = self._o1_from_walks_jit(
+            self.state, stats = self._o1_from_walks_jit(
                 self.state, self._walk_cache
             )
-            return float(loss)
+            return self._finish_o1(stats)
         self._o1_epochs_done += 1
-        self.state, loss = self._o1_epoch_jit(self.state, perm)
-        return float(loss)
+        self.state, stats = self._o1_epoch_jit(self.state, perm)
+        return self._finish_o1(stats)
+
+    def _finish_o1(self, stats):
+        self._o1_stats = stats
+        if not self._sync_stats:
+            return None
+        return self.o1_sync()
+
+    def o1_sync(self) -> float:
+        """Flush the pending O1 stats to host (one device round trip);
+        sets ``last_o1_pairs`` and returns the loss/pair.  With
+        ``stats_sync(False)``, epochs return None and callers flush once
+        after a run of epochs — the pattern for high-latency device links
+        (bench.py times chained epochs with a single sync)."""
+        st = np.asarray(self._o1_stats)
+        self.last_o1_pairs = float(st[1])
+        return float(st[0])
+
+    def stats_sync(self, sync: bool) -> None:
+        """Toggle per-epoch host syncing of the stats vector."""
+        self._sync_stats = sync
 
     def _o1_epoch_host(self) -> float:
         """Host-corpus O1 epoch: C++ feeder generates walks on host threads
@@ -520,6 +548,7 @@ class ComETrainer:
             )
             total_loss += float(loss)
             total_pairs += float(npairs)
+        self.last_o1_pairs = total_pairs
         return total_loss / max(total_pairs, 1.0)
 
     def _o1_walks_step(self, state: TrainState, walks: jnp.ndarray):
@@ -580,7 +609,9 @@ class ComETrainer:
             body, (state.params, state.key, state.words_seen), (src, dst)
         )
         state = TrainState(params=params, key=key, words_seen=words)
-        return state, jnp.sum(losses) / jnp.maximum(jnp.sum(npairs), 1.0)
+        npair = jnp.sum(npairs)
+        loss = jnp.sum(losses) / jnp.maximum(npair, 1.0)
+        return state, jnp.stack([loss, npair])
 
     def o2_epoch(self) -> float:
         """One pass over all directed arcs (reference trains the edge list,
@@ -593,8 +624,19 @@ class ComETrainer:
         perm = jax.random.permutation(k, e)
         src = jnp.resize(self.arc_src[perm], (S, B))
         dst = jnp.resize(self.arc_dst[perm], (S, B))
-        self.state, loss = self._o2_epoch_jit(self.state, src, dst)
-        return float(loss)
+        self.state, stats = self._o2_epoch_jit(self.state, src, dst)
+        return self._finish_o2(stats)
+
+    def _finish_o2(self, stats):
+        self._o2_stats = stats
+        if not self._sync_stats:
+            return None
+        return self.o2_sync()
+
+    def o2_sync(self) -> float:
+        st = np.asarray(self._o2_stats)
+        self.last_o2_pairs = float(st[1])
+        return float(st[0])
 
     # --------------------------------------------------------- O3 (community)
 
@@ -617,7 +659,7 @@ class ComETrainer:
         loss = 0.0
         for _ in range(self.cfg.o3_steps_per_iter):
             self.state, loss = self._o3_step_jit(self.state)
-        return float(loss)
+        return float(loss) if self._sync_stats else None
 
     def fit_gmm(self) -> float:
         self.host_key, k = jax.random.split(self.host_key)
@@ -629,7 +671,7 @@ class ComETrainer:
             reg_covar=self.cfg.reg_covar,
         )
         self.state = self.state.replace(params=params)
-        return float(ll)
+        return float(ll) if self._sync_stats else None
 
     # ----------------------------------------------------------------- driver
 
