@@ -78,6 +78,104 @@ def sgns_batch_grads_tied(
     return loss, d_in + d_out
 
 
+def sgns_shared_pool_grads(
+    emb_in: np.ndarray,
+    emb_out: np.ndarray,
+    centers: np.ndarray,
+    contexts: np.ndarray,
+    pool: np.ndarray,
+    mask: np.ndarray,
+    negative_weight: float,
+):
+    """Oracle for the SHARED-NEGATIVE-POOL fast path (losses/sgns_block.py,
+    ops/pallas_sgns.py): every valid pair scores all KP pool rows with
+    weight ``negative_weight`` (= k / KP, keeping per-pair noise work
+    calibrated to the reference's k per-pair draws,
+    ``utils/training_sdg_inner.pyx`` [R]).
+
+    Per-pair scalar loops; returns (loss, d_in [V,d], d_out [V,d]).
+    """
+    d_in = np.zeros_like(emb_in)
+    d_out = np.zeros_like(emb_out)
+    loss = 0.0
+    for p in range(len(centers)):
+        if not mask[p]:
+            continue
+        i, j = int(centers[p]), int(contexts[p])
+        phi = emb_in[i]
+        s = float(phi @ emb_out[j])
+        g = sigmoid(s) - 1.0
+        loss += -np.log(max(sigmoid(s), 1e-30))
+        d_in[i] += g * emb_out[j]
+        d_out[j] += g * phi
+        for n in pool:
+            n = int(n)
+            s = float(phi @ emb_out[n])
+            g = sigmoid(s) * negative_weight
+            loss += -negative_weight * np.log(max(1.0 - sigmoid(s), 1e-30))
+            d_in[i] += g * emb_out[n]
+            d_out[n] += g * phi
+    return loss, d_in, d_out
+
+
+def walk_banded_shared_pool_grads(
+    emb_in: np.ndarray,
+    emb_out: np.ndarray,
+    walks: np.ndarray,
+    pool: np.ndarray,
+    wrow: np.ndarray,
+    negative_weight: float,
+):
+    """Oracle for ONE synchronous block of the walk-banded fast path
+    (ops/pallas_walk_sgns.py, losses/sgns_banded.py): every in-window
+    in-walk context of every center is a positive pair (center t trains
+    contexts u with 0 < |u-t| <= wrow[t], the reference's reduced-window
+    enumeration), and each center with ``n_t`` trained pairs scores all KP
+    shared pool rows with weight ``negative_weight * n_t``.
+
+    All gradients are with respect to the tables AS OF block start (the
+    kernels' group-synchronous semantics); multi-block steps apply blocks
+    sequentially — compose by calling per block.
+
+    Args:
+      walks: int [B, L] node ids.  wrow: int [B, L] per-center window draws.
+    Returns (loss, n_pairs, d_in [V,d], d_out [V,d]).
+    """
+    d_in = np.zeros_like(emb_in)
+    d_out = np.zeros_like(emb_out)
+    loss = 0.0
+    npairs = 0
+    B, L = walks.shape
+    for b in range(B):
+        for t in range(L):
+            i = int(walks[b, t])
+            w = int(wrow[b, t])
+            phi = emb_in[i]
+            n_t = 0
+            for u in range(max(0, t - w), min(L, t + w + 1)):
+                if u == t:
+                    continue
+                j = int(walks[b, u])
+                s = float(phi @ emb_out[j])
+                g = sigmoid(s) - 1.0
+                loss += -np.log(max(sigmoid(s), 1e-30))
+                d_in[i] += g * emb_out[j]
+                d_out[j] += g * phi
+                n_t += 1
+            npairs += n_t
+            for n in pool:
+                n = int(n)
+                s = float(phi @ emb_out[n])
+                g = sigmoid(s) * negative_weight * n_t
+                loss += (
+                    -negative_weight * n_t
+                    * np.log(max(1.0 - sigmoid(s), 1e-30))
+                )
+                d_in[i] += g * emb_out[n]
+                d_out[n] += g * phi
+    return loss, npairs, d_in, d_out
+
+
 def community_grads(
     node_emb: np.ndarray,
     pi: np.ndarray,

@@ -21,12 +21,19 @@ class ParityReport:
     o3_max_err: float
     loss_rel_err: float
     passed: bool
+    # fast-path rows: the SHIPPING kernels (walk-banded fused kernel for O1,
+    # shared-pool block step for O2) vs the shared-pool/banded oracle
+    # semantics — gradient-level gates, not just end-to-end NMI
+    o1_fast_max_err: float = float("nan")
+    o2_fast_max_err: float = float("nan")
 
     def __str__(self):
         s = "PASS" if self.passed else "FAIL"
         return (
             f"parity {s}: o1={self.o1_max_err:.2e} o2={self.o2_max_err:.2e} "
-            f"o3={self.o3_max_err:.2e} loss_rel={self.loss_rel_err:.2e}"
+            f"o3={self.o3_max_err:.2e} loss_rel={self.loss_rel_err:.2e} "
+            f"o1_fast={self.o1_fast_max_err:.2e} "
+            f"o2_fast={self.o2_fast_max_err:.2e}"
         )
 
 
@@ -115,17 +122,70 @@ def check_gradient_parity(
     og3 = oracle.community_grads(emb_in, pi, centroid, inv_cov, beta)
     o3_err = float(np.abs(g3 - og3).max())
 
-    scale = max(
-        np.abs(odin).max(), np.abs(odout).max(), np.abs(odg).max(),
-        np.abs(og3).max(), 1e-9,
+    # ---- fast-path rows: gradient-level gates on the SHIPPING kernels ----
+    # O1-fast: the walk-banded fused kernel (one group, interpret mode —
+    # full window, single pool) vs the banded shared-pool oracle.  The
+    # kernel is an SGD *step*; with one synchronous group,
+    # new = old - lr * grad(initial tables), so the per-element check is
+    # |new - (old - lr*d_oracle)| / lr.
+    from come_tpu.losses.sgns_block import sgns_block_sgd_step
+    from come_tpu.ops.pallas_walk_sgns import NWL, fused_walk_sgns_step
+
+    KP = 16
+    W, L = 3, 12
+    nw = NWL // 128
+    walks = rng.integers(0, V, (nw, L)).astype(np.int32)
+    pool = rng.integers(0, V, KP).astype(np.int32)
+    negw = negatives / KP
+    lr = 0.025
+    ni, no, floss, _ = fused_walk_sgns_step(
+        jnp.asarray(emb_in), jnp.asarray(emb_out), jnp.asarray(walks),
+        jnp.asarray(pool), lr, negw, 0, window=W, interpret=True,
+        reduced_window=False,
     )
+    wrow = np.full((nw, L), W, np.int32)
+    o_floss, _, o_din, o_dout = oracle.walk_banded_shared_pool_grads(
+        emb_in, emb_out, walks, pool, wrow, negw
+    )
+    o1f_err = max(
+        float(np.abs(np.asarray(ni) - (emb_in - lr * o_din)).max()),
+        float(np.abs(np.asarray(no) - (emb_out - lr * o_dout)).max()),
+    ) / lr
+    o1f_scale = max(np.abs(o_din).max(), np.abs(o_dout).max())
+    loss_rel = max(
+        loss_rel, abs(float(floss) - o_floss) / max(abs(o_floss), 1e-9)
+    )
+
+    # O2-fast: tied-table shared-pool block step (the production O2
+    # micro-step) vs the shared-pool oracle.
+    nt, _, bloss, _ = sgns_block_sgd_step(
+        jnp.asarray(emb_in), jnp.asarray(emb_in), jnp.asarray(s2),
+        jnp.asarray(d2), jnp.asarray(pool), jnp.asarray(m2), lr, negw,
+        tie_tables=True,
+    )
+    o_bloss, o_bin, o_bout = oracle.sgns_shared_pool_grads(
+        emb_in, emb_in, s2, d2, pool, m2, negw
+    )
+    o_btied = o_bin + o_bout
+    o2f_err = float(
+        np.abs(np.asarray(nt) - (emb_in - lr * o_btied)).max()
+    ) / lr
+    o2f_scale = float(np.abs(o_btied).max())
+    loss_rel = max(
+        loss_rel, abs(float(bloss) - o_bloss) / max(abs(o_bloss), 1e-9)
+    )
+
     passed = (
         o1_err < atol + rtol * float(np.abs(odin).max() + np.abs(odout).max())
         and o2_err < atol + rtol * float(np.abs(odg).max())
         and o3_err < atol + rtol * float(np.abs(og3).max())
+        and o1f_err < atol + rtol * o1f_scale
+        and o2f_err < atol + rtol * o2f_scale
         and loss_rel < 1e-3
     )
-    return ParityReport(o1_err, o2_err, o3_err, loss_rel, passed)
+    return ParityReport(
+        o1_err, o2_err, o3_err, loss_rel, passed, o1f_err, o2f_err
+    )
 
 
 def main(argv=None) -> int:

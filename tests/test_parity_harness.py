@@ -11,3 +11,7 @@ def test_parity_passes_on_karate():
     assert rep.o1_max_err < 1e-4
     assert rep.o2_max_err < 1e-4
     assert rep.o3_max_err < 1e-4
+    # fast-path (shipping-kernel) rows: walk-banded fused kernel + tied
+    # shared-pool block step vs the shared-pool oracle (VERDICT r1 item 6)
+    assert rep.o1_fast_max_err < 1e-3
+    assert rep.o2_fast_max_err < 1e-3

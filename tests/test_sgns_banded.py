@@ -16,42 +16,14 @@ def _sigmoid(x):
 
 
 def _oracle_block(emb_in, emb_out, walks, pool, wrow, negw):
-    """Per-pair numpy loops over one walk block: full [V, d] gradients.
+    """Promoted to evaluation/oracle.py (walk_banded_shared_pool_grads);
+    kept as a thin alias so the banded tests and the parity harness share
+    ONE definition of the fast path's expected gradients."""
+    from come_tpu.evaluation.oracle import walk_banded_shared_pool_grads
 
-    Mirrors the reference inner loop's pair enumeration (every in-window,
-    in-walk context of every center), with the shared-pool negative model:
-    each center with n_t trained pairs scores all KP pool rows with weight
-    negw * n_t.
-    """
-    V, d = emb_in.shape
-    d_in = np.zeros_like(emb_in)
-    d_out = np.zeros_like(emb_out)
-    loss = 0.0
-    npairs = 0
-    B, L = walks.shape
-    for b in range(B):
-        for l in range(L):
-            i = int(walks[b, l])
-            w = int(wrow[b, l])
-            n_t = 0
-            for m in range(max(0, l - w), min(L, l + w + 1)):
-                if m == l:
-                    continue
-                j = int(walks[b, m])
-                s = float(emb_in[i] @ emb_out[j])
-                g = _sigmoid(s) - 1.0
-                loss += -np.log(max(_sigmoid(s), 1e-30))
-                d_in[i] += g * emb_out[j]
-                d_out[j] += g * emb_in[i]
-                n_t += 1
-            npairs += n_t
-            for k in pool:
-                s = float(emb_in[i] @ emb_out[int(k)])
-                g = _sigmoid(s) * negw * n_t
-                loss += -negw * n_t * np.log(max(1.0 - _sigmoid(s), 1e-30))
-                d_in[i] += g * emb_out[int(k)]
-                d_out[int(k)] += g * emb_in[i]
-    return loss, npairs, d_in, d_out
+    return walk_banded_shared_pool_grads(
+        emb_in, emb_out, walks, pool, wrow, negw
+    )
 
 
 @pytest.mark.parametrize("W", [1, 3])
