@@ -36,7 +36,32 @@ chip is local and per-epoch syncing is noise.
 from __future__ import annotations
 
 import json
+import pathlib
+import statistics
+import sys
 import time
+
+
+def _run_tpu_gate() -> None:
+    """Refuse to bench a miscompiling chip: run the on-TPU kernel gate
+    (scripts/verify_kernels_tpu.py --quick) first and abort WITHOUT
+    emitting the JSON line if any tier fails (VERDICT r2 weak 4)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return
+    sys.path.insert(
+        0, str(pathlib.Path(__file__).resolve().parent / "scripts")
+    )
+    import verify_kernels_tpu
+
+    if verify_kernels_tpu.main(["--quick"]) != 0:
+        print(
+            "bench ABORTED: on-TPU kernel gate FAILED — no throughput "
+            "number is trustworthy on this chip/toolchain",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
 
 
 def _chained_rate(trainer, epoch, sync, n: int, pairs_attr: str) -> float:
@@ -59,6 +84,8 @@ def main() -> None:
     from come_tpu.graphs import get_dataset
     from come_tpu.trainer import ComETrainer
 
+    _run_tpu_gate()
+
     ds = get_dataset("blogcatalog")
     base = get_config("blogcatalog").replace(
         num_communities=ds.num_communities,
@@ -80,17 +107,19 @@ def main() -> None:
     # accounting) ----
     t = ComETrainer(ds.graph, base.replace(walk_regen_epochs=0))
     t.o1_epoch()  # warmup/compile (also generates + caches the corpus)
-    o1_cached = max(
+    # median-of-3: the defensible statistic (max kept as a secondary field)
+    cached_samples = [
         _chained_rate(t, t.o1_epoch, t.o1_sync, 8, "last_o1_pairs")
         for _ in range(3)
-    )
+    ]
+    o1_cached = statistics.median(cached_samples)
 
     # ---- fresh walks every epoch ----
     tf = ComETrainer(ds.graph, base.replace(walk_regen_epochs=1))
     tf.o1_epoch()
-    o1_fresh = max(
+    o1_fresh = statistics.median(
         _chained_rate(tf, tf.o1_epoch, tf.o1_sync, 6, "last_o1_pairs")
-        for _ in range(2)
+        for _ in range(3)
     )
 
     # ---- O2 (edge pass) ----
@@ -126,6 +155,7 @@ def main() -> None:
                 "value": round(o1_cached, 1),
                 "unit": "pairs/s",
                 "vs_baseline": round(o1_cached / baseline, 4),
+                "value_max": round(max(cached_samples), 1),
                 "o1_fresh_walks": round(o1_fresh, 1),
                 "o2": round(o2, 1),
                 "full_loop": round(full_loop, 1),

@@ -24,6 +24,11 @@ class ComEConfig:
     # corpus (reference: num_paths=10, path_length=80, window=10)
     walk_length: int = 80
     walks_per_node: int = 10
+    # per-step probability of restarting a walk at its origin (the
+    # reference ``random_walk``'s ``alpha`` [R, SURVEY.md C3]; 0 = pure
+    # truncated walks, the reference default).  Honored by both the
+    # on-device walker (sampling/walks.py) and the C++ host feeder.
+    restart_prob: float = 0.0
     window: int = 10
     negative: int = 5
     down_sample: float = 0.0  # word2vec `sample`; 0 = off
@@ -104,10 +109,22 @@ class ComEConfig:
     # masked slots it saves on TPU; kept for host-feeder pipelines).
     compact_budget: float = 0.0
     # row exchange for model>1 sharded training (shared-negative mode):
-    # "psum" = masked-gather + psum (replicated batch over 'model', traffic
-    # ~2*B*d/device); "a2a" = bucketed all-to-all (batch ALSO sliced over
-    # 'model', traffic ~3*B*d/M — see parallel/exchange.py).
-    row_exchange: str = "psum"
+    # "a2a" = bucketed all-to-all (batch ALSO sliced over 'model', traffic
+    # ~3*B*d/M — see parallel/exchange.py); "psum" = masked-gather + psum
+    # (replicated batch over 'model', traffic ~2*B*d/device — the simple
+    # debug/fallback exchange).  "auto" (default) resolves to a2a whenever
+    # the mesh has model>1: the id interleave + served-fraction monitoring
+    # make the bucketed exchange safe by default (BASELINE.json:5's
+    # "boundary rows exchanged all-to-all over ICI").
+    row_exchange: str = "auto"
+    # double-buffer the row exchange in the row-sharded walk tiers: the
+    # NEXT block's rows are gathered while the current block computes
+    # (software pipelining inside the scan), at the cost of the gathered
+    # rows being one block stale — the same staleness class as the
+    # reference's hogwild reads (SURVEY.md §3.2).  Exchange plans (the id
+    # all-to-alls) are always hoisted out of the block loop; this flag only
+    # controls the stale-read row prefetch.
+    overlap_exchange: bool = True
     # bucket slack for the a2a exchange: capacity = ceil(B/M * slack).
     # Ids past an owner's bucket are skipped that micro-step (reported by
     # the served mask); the trainer interleave-relabels node ids so

@@ -23,6 +23,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--negative", type=int)
     p.add_argument("--walk-length", type=int)
     p.add_argument("--walks-per-node", type=int)
+    p.add_argument("--restart-prob", type=float,
+                   help="walk restart probability (reference alpha)")
     p.add_argument("--lr", type=float)
     p.add_argument("--alpha", type=float, help="O2 loss weight")
     p.add_argument("--beta", type=float, help="O3 loss weight")

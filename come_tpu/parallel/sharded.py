@@ -494,7 +494,7 @@ class ShardedComETrainer(ComETrainer):
         state = state.replace(key=jax.random.fold_in(state.key, 12))
         walks_all = random_walks(
             self.csr, start_perm.reshape(S * B_local), cfg.walk_length,
-            kw_all,
+            kw_all, restart_prob=cfg.restart_prob,
         ).reshape(S, B_local, cfg.walk_length)
 
         def body(carry, walks):

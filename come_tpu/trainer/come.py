@@ -343,7 +343,8 @@ class ComETrainer:
         semantics-free."""
         S, B = start_perm.shape
         return random_walks(
-            self.csr, start_perm.reshape(S * B), self.cfg.walk_length, key
+            self.csr, start_perm.reshape(S * B), self.cfg.walk_length, key,
+            restart_prob=self.cfg.restart_prob,
         ).reshape(S, B, self.cfg.walk_length)
 
     def _o1_epoch(self, state: TrainState, start_perm: jnp.ndarray):
@@ -538,7 +539,8 @@ class ComETrainer:
         n_batches = math.ceil(v * cfg.walks_per_node / B)
         if self._host_feeder is None:
             self._host_feeder = HostWalkFeeder(
-                self.graph, batch=B, length=cfg.walk_length, seed=cfg.seed
+                self.graph, batch=B, length=cfg.walk_length, seed=cfg.seed,
+                restart_prob=cfg.restart_prob,
             )
         total_loss, total_pairs = 0.0, 0.0
         for _ in range(n_batches):

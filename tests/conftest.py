@@ -21,15 +21,36 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# COME_TPU_TESTS=1 opts into the real-hardware tests (-m tpu): leave the
+# backend alone so @pytest.mark.tpu tests see the chip.
+_TPU_OPT_IN = os.environ.get("COME_TPU_TESTS") == "1"
+if not _TPU_OPT_IN:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-assert jax.default_backend() == "cpu", (
-    "tests must run on local CPU, got " + jax.default_backend()
-)
-assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+if not _TPU_OPT_IN:
+    assert jax.default_backend() == "cpu", (
+        "tests must run on local CPU, got " + jax.default_backend()
+    )
+    assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: needs real TPU hardware (run with COME_TPU_TESTS=1 -m tpu)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if _TPU_OPT_IN:
+        return
+    skip = pytest.mark.skip(reason="TPU hardware test (set COME_TPU_TESTS=1)")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture

@@ -113,3 +113,33 @@ def test_walk_cache_cadence():
     assert t2._walk_cache is c0  # epoch 1: still cached
     t2.o1_epoch()
     assert t2._walk_cache is not c0  # epoch 2: regenerated
+
+
+def test_restart_prob_reaches_corpus():
+    """config.restart_prob threads into the trainer's walk generation
+    (reference ``random_walk`` alpha [R]): a high restart prob keeps path
+    walks pinned near their origin."""
+    import numpy as np
+
+    from come_tpu.config import ComEConfig
+    from come_tpu.graphs import CSRGraph
+    from come_tpu.trainer import ComETrainer
+
+    n = 200
+    g = CSRGraph.from_arcs(np.arange(n - 1), np.arange(1, n), num_nodes=n)
+    base = ComEConfig(
+        dim=8, num_communities=2, walk_length=20, walks_per_node=1,
+        window=3, negative=2, batch_walks=32, batch_pairs=256,
+        walk_regen_epochs=0,
+    )
+    t0 = ComETrainer(g, base)
+    t0.o1_epoch()
+    drift0 = float(np.asarray(t0._walk_cache).max())
+    t1 = ComETrainer(g, base.replace(restart_prob=0.8))
+    t1.o1_epoch()
+    w1 = np.asarray(t1._walk_cache)
+    # restarts return walks to their origins often...
+    origins = w1[..., :1]
+    assert (w1 == origins).mean() > 0.3
+    # ...and prevent the long drift the restart-free corpus shows
+    assert drift0 == n - 1  # some walk reaches the path's end
