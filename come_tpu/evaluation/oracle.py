@@ -176,6 +176,95 @@ def walk_banded_shared_pool_grads(
     return loss, npairs, d_in, d_out
 
 
+def walk_banded_kernel_sequential(
+    emb_in: np.ndarray,
+    emb_out: np.ndarray,
+    walks: np.ndarray,
+    pools: np.ndarray,
+    wrow: np.ndarray,
+    negative_weight: float,
+    lr: float,
+    walks_per_group: int,
+    pool_refresh: int = 1,
+):
+    """Oracle for a MULTI-GROUP fused-kernel step (ops/pallas_walk_sgns.py):
+    the exact sequential composition the kernel executes, built from the
+    single-block semantics of :func:`walk_banded_shared_pool_grads` (which
+    documents "multi-block steps apply blocks sequentially — compose by
+    calling per block").
+
+    Per R-group block (R = ``pool_refresh``):
+      * the negative pool's rows are STAGED once at block start (groups
+        score negatives against these rows even after later groups update
+        the tables);
+      * each group of ``walks_per_group`` walks computes its banded
+        positive gradients and its pool gradient against the CURRENT
+        tables (walk rows) / STAGED pool rows, then applies its walk-row
+        updates synchronously (duplicates sum);
+      * the pool gradient accumulates across the block and is applied
+        once at the block boundary (read-modify-write, so walk updates to
+        pool rows within the block are preserved).
+
+    Args:
+      walks: int [B, L] with B a multiple of walks_per_group.
+      pools: int [n_blocks, KP] (one pool per R-group block).
+      wrow:  int [B, L] per-center window draws.
+    Returns (emb_in', emb_out', loss, n_pairs).
+    """
+    ei = emb_in.astype(np.float32).copy()
+    eo = emb_out.astype(np.float32).copy()
+    B, L = walks.shape
+    nw = walks_per_group
+    G = B // nw
+    R = pool_refresh
+    loss = 0.0
+    npairs = 0
+    for g in range(G):
+        blk = g // R
+        if g % R == 0:
+            pool = pools[blk].astype(np.int64)
+            staged = eo[pool].copy()  # pool rows as of block start
+            dneg = np.zeros_like(staged)
+        w = walks[g * nw:(g + 1) * nw]
+        wr = wrow[g * nw:(g + 1) * nw]
+        d_in = np.zeros_like(ei)
+        d_out = np.zeros_like(eo)
+        for b in range(nw):
+            for t in range(L):
+                i = int(w[b, t])
+                ww = int(wr[b, t])
+                phi = ei[i]
+                n_t = 0
+                for u in range(max(0, t - ww), min(L, t + ww + 1)):
+                    if u == t:
+                        continue
+                    j = int(w[b, u])
+                    s = float(phi @ eo[j])
+                    gr = sigmoid(s) - 1.0
+                    loss += -np.log(max(sigmoid(s), 1e-30))
+                    d_in[i] += gr * eo[j]
+                    d_out[j] += gr * phi
+                    n_t += 1
+                npairs += n_t
+                # negatives vs the STAGED pool rows; gradient deferred
+                for k in range(len(pool)):
+                    s = float(phi @ staged[k])
+                    gr = sigmoid(s) * negative_weight * n_t
+                    loss += (
+                        -negative_weight * n_t
+                        * np.log(max(1.0 - sigmoid(s), 1e-30))
+                    )
+                    d_in[i] += gr * staged[k]
+                    dneg[k] += gr * phi
+        ei -= lr * d_in
+        eo -= lr * d_out
+        if g % R == R - 1 or g == G - 1:
+            # block boundary: apply the accumulated pool gradient (RMW)
+            for k in range(len(pool)):
+                eo[pool[k]] -= lr * dneg[k]
+    return ei, eo, loss, npairs
+
+
 def community_grads(
     node_emb: np.ndarray,
     pi: np.ndarray,

@@ -26,6 +26,11 @@ class ParityReport:
     # semantics — gradient-level gates, not just end-to-end NMI
     o1_fast_max_err: float = float("nan")
     o2_fast_max_err: float = float("nan")
+    # shipping-CONFIG rows: multi-group + pool_refresh>1 kernel step vs the
+    # composed sequential oracle, and the row-sharded (2,2)-mesh step vs
+    # the per-worker sum-of-deltas composition (VERDICT r2 item 6)
+    o1_fast_multi_max_err: float = float("nan")
+    o1_fast_rowsharded_max_err: float = float("nan")
 
     def __str__(self):
         s = "PASS" if self.passed else "FAIL"
@@ -33,7 +38,9 @@ class ParityReport:
             f"parity {s}: o1={self.o1_max_err:.2e} o2={self.o2_max_err:.2e} "
             f"o3={self.o3_max_err:.2e} loss_rel={self.loss_rel_err:.2e} "
             f"o1_fast={self.o1_fast_max_err:.2e} "
-            f"o2_fast={self.o2_fast_max_err:.2e}"
+            f"o2_fast={self.o2_fast_max_err:.2e} "
+            f"o1_fast_multi={self.o1_fast_multi_max_err:.2e} "
+            f"o1_fast_rowsharded={self.o1_fast_rowsharded_max_err:.2e}"
         )
 
 
@@ -175,17 +182,143 @@ def check_gradient_parity(
         loss_rel, abs(float(bloss) - o_bloss) / max(abs(o_bloss), 1e-9)
     )
 
+    # ---- shipping-config rows (VERDICT r2 item 6) ----
+    # O1-fast-multi: FOUR sequential groups with pool_refresh=2 (two
+    # R-blocks, pool gradient deferred to each block boundary) vs the
+    # composed sequential oracle.  This is the semantic shape of the
+    # production config (256 groups, R=8), scaled down.
+    G, R = 4, 2
+    walks_m = rng.integers(0, V, (G * nw, L)).astype(np.int32)
+    pools_m = rng.integers(0, V, (G // R, KP)).astype(np.int32)
+    mi_, mo_, mloss, mnp = fused_walk_sgns_step(
+        jnp.asarray(emb_in), jnp.asarray(emb_out), jnp.asarray(walks_m),
+        jnp.asarray(pools_m), lr, negw, 0, window=W, interpret=True,
+        reduced_window=False, pool_refresh=R,
+    )
+    wrow_m = np.full((G * nw, L), W, np.int32)
+    o_mi, o_mo, o_mloss, o_mnp = oracle.walk_banded_kernel_sequential(
+        emb_in, emb_out, walks_m, pools_m, wrow_m, negw, lr, nw,
+        pool_refresh=R,
+    )
+    o1m_err = max(
+        float(np.abs(np.asarray(mi_) - o_mi).max()),
+        float(np.abs(np.asarray(mo_) - o_mo).max()),
+    ) / lr
+    o1m_scale = max(
+        np.abs((o_mi - emb_in) / lr).max(),
+        np.abs((o_mo - emb_out) / lr).max(),
+    )
+    assert float(mnp) == o_mnp, (float(mnp), o_mnp)
+    loss_rel = max(
+        loss_rel, abs(float(mloss) - o_mloss) / max(abs(o_mloss), 1e-9)
+    )
+
+    # O1-fast-rowsharded: the (2,2)-mesh row-sharded kernel step
+    # (parallel/walk_exchange.py) vs per-worker sequential oracles composed
+    # by sum-of-deltas.  Needs >= 4 local devices (the test suite's
+    # virtual CPU mesh); reported as nan otherwise.
+    o1r_err = float("nan")
+    o1r_scale = 1.0
+    if len(jax.devices()) >= 4:
+        o1r_err, o1r_scale, rs_loss_rel = _rowsharded_parity(
+            emb_in, emb_out, rng, nw, L, KP, W, lr, negw
+        )
+        loss_rel = max(loss_rel, rs_loss_rel)
+
     passed = (
         o1_err < atol + rtol * float(np.abs(odin).max() + np.abs(odout).max())
         and o2_err < atol + rtol * float(np.abs(odg).max())
         and o3_err < atol + rtol * float(np.abs(og3).max())
         and o1f_err < atol + rtol * o1f_scale
         and o2f_err < atol + rtol * o2f_scale
+        and o1m_err < atol + rtol * o1m_scale
+        and not (o1r_err == o1r_err and o1r_err >= atol + rtol * o1r_scale)
         and loss_rel < 1e-3
     )
     return ParityReport(
-        o1_err, o2_err, o3_err, loss_rel, passed, o1f_err, o2f_err
+        o1_err, o2_err, o3_err, loss_rel, passed, o1f_err, o2f_err,
+        o1m_err, o1r_err,
     )
+
+
+def _rowsharded_parity(emb_in, emb_out, rng, nw, L, KP, W, lr, negw):
+    """Gradient gate for fused_walk_step_rowsharded on a (2,2) mesh.
+
+    Each of the 4 workers trains its own group of walks against its own
+    pool on an exact (capacity = U) bucketed exchange; the expected result
+    is table + sum over workers of (per-worker sequential oracle - table).
+    Returns (max_err/lr, grad_scale, loss_rel).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import shard_map
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+
+    from come_tpu.evaluation import oracle
+    from come_tpu.parallel.walk_exchange import fused_walk_step_rowsharded
+
+    D = M = 2
+    V, dim = emb_in.shape
+    rows_per = -(-V // M)
+    v_pad = rows_per * M
+    ei = np.pad(emb_in, ((0, v_pad - V), (0, 0)))
+    eo = np.pad(emb_out, ((0, v_pad - V), (0, 0)))
+    walks = rng.integers(0, V, (D, M, nw, L)).astype(np.int32)
+    pools = rng.integers(0, V, (D, M, 1, KP)).astype(np.int32)
+
+    mesh = Mesh(
+        np.array(jax.devices()[: D * M]).reshape(D, M), ("data", "model")
+    )
+
+    def step(ns, cs, wk, sg):
+        ne, ce, loss, npairs, srv = fused_walk_step_rowsharded(
+            ns, cs, wk[0, 0], sg[0, 0], lr, negw, 0,
+            window=W, capacity_slack=float(M), interpret=True,
+        )
+        # loss/npairs come back psum'd (replicated); served is per-worker
+        srv = jax.lax.pmean(srv, ("data", "model"))
+        return ne, ce, loss, npairs, srv
+
+    ne, ce, loss, npairs, srv = jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P("model"), P("model"),
+                      P("data", "model"), P("data", "model")),
+            out_specs=(P("model"), P("model"), P(), P(), P()),
+            check_vma=False,
+        )
+    )(jnp.asarray(ei), jnp.asarray(eo), jnp.asarray(walks),
+      jnp.asarray(pools))
+    assert float(srv) == 1.0, float(srv)
+
+    wrow = np.full((nw, L), W, np.int32)
+    d_in = np.zeros_like(ei)
+    d_out = np.zeros_like(eo)
+    o_loss = 0.0
+    o_np = 0
+    for di in range(D):
+        for mi in range(M):
+            wi, wo, wl, wnp = oracle.walk_banded_kernel_sequential(
+                ei, eo, walks[di, mi], pools[di, mi], wrow, negw, lr, nw
+            )
+            d_in += wi - ei
+            d_out += wo - eo
+            o_loss += wl
+            o_np += wnp
+    exp_in, exp_out = ei + d_in, eo + d_out
+    err = max(
+        float(np.abs(np.asarray(ne) - exp_in).max()),
+        float(np.abs(np.asarray(ce) - exp_out).max()),
+    ) / lr
+    scale = max(
+        np.abs(d_in / lr).max(), np.abs(d_out / lr).max()
+    )
+    assert float(npairs) == o_np, (float(npairs), o_np)
+    loss_rel = abs(float(loss) - o_loss) / max(abs(o_loss), 1e-9)
+    return err, float(scale), loss_rel
 
 
 def main(argv=None) -> int:

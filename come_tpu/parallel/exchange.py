@@ -33,7 +33,12 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass
 class RowExchangePlan:
-    """Bucketed routing for one set of row ids (traced values)."""
+    """Bucketed routing for one set of row ids (traced values).
+
+    Registered as a pytree (array fields = leaves) so plans can be built in
+    a batch (`make_exchange_plans_batched`) and fed through ``lax.scan`` as
+    per-step xs — the hoist that takes the id exchange out of the hot loop.
+    """
 
     order: jnp.ndarray   # [B] argsort of owner
     sowner: jnp.ndarray  # [B] owner of each sorted id
@@ -88,6 +93,13 @@ class RowExchangePlan:
         )
 
 
+jax.tree_util.register_dataclass(
+    RowExchangePlan,
+    data_fields=["order", "sowner", "pos", "ok", "served", "got"],
+    meta_fields=["rows_per", "capacity", "axis"],
+)
+
+
 def make_exchange_plan(
     idx: jnp.ndarray,
     rows_per: int,
@@ -119,6 +131,56 @@ def make_exchange_plan(
     return RowExchangePlan(
         order=order, sowner=sowner, pos=pos, ok=ok, served=served,
         got=got, rows_per=rows_per, capacity=capacity, axis=axis,
+    )
+
+
+def make_exchange_plans_batched(
+    idx: jnp.ndarray,
+    rows_per: int,
+    capacity: int,
+    axis: str = "model",
+) -> RowExchangePlan:
+    """Plan G bucketed exchanges with ONE all-to-all.
+
+    ``idx`` is int [G, B]: G independent id sets (e.g. one per scan
+    step/block).  Ids are param-independent, so every step's id exchange can
+    be hoisted out of the training loop and batched — the returned plan has
+    a leading G dim on every array leaf and slices per step through
+    ``lax.scan`` xs (RowExchangePlan is a registered pytree).
+    """
+    idx = idx.astype(jnp.int32)
+    G, B = idx.shape
+    M = jax.lax.axis_size(axis)
+    owner = idx // rows_per
+    order = jnp.argsort(owner, axis=1, stable=True)
+    sowner = jnp.take_along_axis(owner, order, axis=1)
+    sidx = jnp.take_along_axis(idx, order, axis=1)
+    shards = jnp.arange(M, dtype=sowner.dtype)
+    start = jax.vmap(lambda so: jnp.searchsorted(so, shards))(sowner)
+    pos = jnp.arange(B, dtype=jnp.int32)[None, :] - jnp.take_along_axis(
+        start, sowner, axis=1
+    ).astype(jnp.int32)
+    ok = pos < capacity
+    gix = jnp.arange(G, dtype=jnp.int32)[:, None]
+    req = jnp.full((G, M, capacity), -1, jnp.int32)
+    req = req.at[gix, sowner, pos].set(sidx, mode="drop")
+    got = jax.lax.all_to_all(
+        req, axis, split_axis=1, concat_axis=1, tiled=True
+    )
+    served = jnp.zeros((G, B), bool).at[gix, order].set(ok)
+    return RowExchangePlan(
+        order=order, sowner=sowner, pos=pos, ok=ok, served=served,
+        got=got, rows_per=rows_per, capacity=capacity, axis=axis,
+    )
+
+
+def shift_plans(plans: RowExchangePlan) -> RowExchangePlan:
+    """plans[k] -> plans[k+1] (last repeats): the per-step xs feeding the
+    double-buffered prefetch — body k gathers block k+1's rows while block
+    k computes.  The final step's prefetch re-gathers its own rows and is
+    discarded (cost 1/G of the exchanges; keeps the scan shape static)."""
+    return jax.tree.map(
+        lambda a: jnp.concatenate([a[1:], a[-1:]], axis=0), plans
     )
 
 

@@ -96,7 +96,16 @@ class ShardedComETrainer(ComETrainer):
         self.v_real = graph.num_nodes
         self.v_pad = math.ceil(graph.num_nodes / m) * m
         self._perm = None  # old node id -> trained row (a2a interleave)
-        if config.row_exchange == "a2a" and m > 1:
+        # resolved exchange: "auto" (the default) means the bucketed a2a
+        # whenever the mesh actually has a model axis — BASELINE.json:5's
+        # all-to-all boundary-row exchange is what a (D, M>1) user gets
+        # with no flags; "psum" remains the explicit debug/fallback
+        self.row_exchange = (
+            "a2a"
+            if config.row_exchange in ("auto", "a2a") and m > 1
+            else "psum"
+        )
+        if self.row_exchange == "a2a":
             from come_tpu.parallel.exchange import interleave_permutation
 
             # community-sorted inputs cluster a walk's rows on one shard;
@@ -166,7 +175,7 @@ class ShardedComETrainer(ComETrainer):
         dim = node_emb.shape[1]
 
         if cfg.negative_mode == "shared":
-            if cfg.row_exchange == "a2a" and self.layout.model_size > 1:
+            if self.row_exchange == "a2a" and self.layout.model_size > 1:
                 M = self.layout.model_size
                 if mb % M:  # model-sliced micro-batches: pad mb up to M
                     extra = M - mb % M
@@ -406,7 +415,7 @@ class ShardedComETrainer(ComETrainer):
         cfg = self.cfg
         workers = self.layout.data_size * self.layout.model_size
         if self.layout.model_size != 1:
-            if cfg.row_exchange != "a2a":
+            if self.row_exchange != "a2a":
                 return False
             if not self._walk_kernel_cfg_ok():
                 return False
@@ -447,7 +456,7 @@ class ShardedComETrainer(ComETrainer):
             return False
         if cfg.down_sample > 0:
             return False
-        if self.layout.model_size > 1 and cfg.row_exchange != "a2a":
+        if self.layout.model_size > 1 and self.row_exchange != "a2a":
             return False
         if cfg.banded == "always":
             return True
@@ -461,6 +470,121 @@ class ShardedComETrainer(ComETrainer):
             2.0 * pairs_per_block * workers / max(self.graph.num_nodes, 1)
         )
         return collisions <= 16.0
+
+    def _o1_rowsharded_scan(
+        self, state: TrainState, walks_all: jnp.ndarray, B_global: int
+    ):
+        """Row-sharded fused-kernel epoch with hoisted + overlapped
+        exchanges (inside shard_map; walks_all [S, B_local, L] is this data
+        shard's corpus).
+
+        The walk batch is ALSO sliced over 'model': each of the D*M workers
+        trains its own B_local/M walks on a compact ICI-gathered table
+        (parallel/walk_exchange.py).  Exchange structure:
+
+          * every step's id all-to-all is batched into ONE collective
+            before the scan (ids are param-independent);
+          * with ``overlap_exchange`` the scan carries next step's rows,
+            gathered from pre-update tables while the current step's kernel
+            runs — gather latency hides behind compute (one-step-stale
+            reads; the hogwild envelope widened by one macro step).
+        """
+        from come_tpu.parallel.exchange import shift_plans
+        from come_tpu.parallel.walk_exchange import (
+            fused_walk_step_prepped,
+            plan_walk_macro_steps,
+        )
+
+        cfg = self.cfg
+        S, B_local, L = walks_all.shape
+        M = self.layout.model_size
+        mi = jax.lax.axis_index("model")
+        B_w, _, n_pools = self._rowsharded_walk_shapes(B_local)
+        wk_all = jax.lax.dynamic_slice_in_dim(
+            walks_all, mi * B_w, B_w, axis=1
+        )  # [S, B_w, L]
+        # per-worker RNG for the whole epoch: pools + kernel seeds upfront
+        dkey = jax.random.fold_in(state.key, jax.lax.axis_index("data"))
+        dkey = jax.random.fold_in(dkey, 7919 + mi)
+        state = state.replace(key=jax.random.fold_in(state.key, 7))
+        kpool, kseed = jax.random.split(dkey)
+        sneg_all = sample_alias(
+            self.accept, self.alias, kpool,
+            (S, n_pools, cfg.shared_negatives),
+        )
+        seeds = jax.random.randint(
+            kseed, (S,), 0, 2**31 - 1, dtype=jnp.int32
+        )
+        rows_per = self.v_pad // M
+        plans, rwalks, rneg, served = plan_walk_macro_steps(
+            wk_all, sneg_all, rows_per, cfg.a2a_capacity_slack
+        )
+        interp = cfg.pallas == "always" and jax.default_backend() != "tpu"
+        negw = cfg.negative / cfg.shared_negatives
+        step_kw = dict(
+            window=cfg.window, pool_refresh=cfg.walk_pool_refresh,
+            mxu_bf16=cfg.walk_kernel_bf16, interpret=interp,
+        )
+        p0 = state.params
+
+        def apply(ne, ce, words, rows_n, rows_c, plan, rw, rn, seed):
+            lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
+            dn, dc, loss, npairs = fused_walk_step_prepped(
+                ne, ce, rows_n, rows_c, plan, rw, rn, lr, negw, seed,
+                **step_kw,
+            )
+            ne = ne + jax.lax.psum(dn, "data")
+            ce = ce + jax.lax.psum(dc, "data")
+            words = words + jnp.float32(B_global * L)
+            return ne, ce, words, loss, npairs
+
+        if cfg.overlap_exchange:
+            plan0 = jax.tree.map(lambda a: a[0], plans)
+            rows_n0 = plan0.gather(p0.node_emb)
+            rows_c0 = plan0.gather(p0.ctx_emb)
+
+            def body(carry, xs):
+                ne, ce, words, rows_n, rows_c = carry
+                plan_cur, plan_next, rw, rn, seed = xs
+                # prefetch step k+1's rows BEFORE this step's delta lands
+                nrows_n = plan_next.gather(ne)
+                nrows_c = plan_next.gather(ce)
+                ne, ce, words, loss, npairs = apply(
+                    ne, ce, words, rows_n, rows_c, plan_cur, rw, rn, seed
+                )
+                return (ne, ce, words, nrows_n, nrows_c), (loss, npairs)
+
+            carry0 = (
+                p0.node_emb, p0.ctx_emb, state.words_seen, rows_n0, rows_c0
+            )
+            (ne, ce, words, _, _), (losses, npairs) = jax.lax.scan(
+                body, carry0, (plans, shift_plans(plans), rwalks, rneg,
+                               seeds),
+            )
+        else:
+
+            def body(carry, xs):
+                ne, ce, words = carry
+                plan, rw, rn, seed = xs
+                rows_n = plan.gather(ne)
+                rows_c = plan.gather(ce)
+                ne, ce, words, loss, npairs = apply(
+                    ne, ce, words, rows_n, rows_c, plan, rw, rn, seed
+                )
+                return (ne, ce, words), (loss, npairs)
+
+            (ne, ce, words), (losses, npairs) = jax.lax.scan(
+                body, (p0.node_emb, p0.ctx_emb, state.words_seen),
+                (plans, rwalks, rneg, seeds),
+            )
+
+        params = p0.replace(node_emb=ne, ctx_emb=ce)
+        state = TrainState(params=params, key=state.key, words_seen=words)
+        npair = jax.lax.psum(jnp.sum(npairs), ("data", "model"))
+        loss = jax.lax.psum(jnp.sum(losses), ("data", "model"))
+        loss = loss / jnp.maximum(npair, 1.0)
+        srv = jax.lax.pmean(jnp.mean(served), ("data", "model"))
+        return state, jnp.stack([loss, npair, srv])
 
     def _o1_epoch(self, state: TrainState, start_perm: jnp.ndarray):
         """shard_map body: start_perm [S, B] arrives sliced over 'data'."""
@@ -497,6 +621,9 @@ class ShardedComETrainer(ComETrainer):
             kw_all, restart_prob=cfg.restart_prob,
         ).reshape(S, B_local, cfg.walk_length)
 
+        if rowsharded:
+            return self._o1_rowsharded_scan(state, walks_all, B_global)
+
         def body(carry, walks):
             params, key, words = carry
             # decorrelate RNG across data shards (negs are local)
@@ -507,38 +634,7 @@ class ShardedComETrainer(ComETrainer):
             interp = (cfg.pallas == "always"
                       and jax.default_backend() != "tpu")
             served = jnp.float32(1.0)
-            if rowsharded:
-                from come_tpu.parallel.walk_exchange import (
-                    fused_walk_step_rowsharded,
-                )
-
-                # the walk batch is ALSO sliced over 'model': each of the
-                # D*M workers trains its own B_local/M walks on a compact
-                # ICI-gathered table (parallel/walk_exchange.py)
-                M = self.layout.model_size
-                mi = jax.lax.axis_index("model")
-                B_w, _, n_pools = self._rowsharded_walk_shapes(B_local)
-                wk = jax.lax.dynamic_slice_in_dim(walks, mi * B_w, B_w)
-                mkey = jax.random.fold_in(dkey, 7919 + mi)  # per-worker
-                kpp, knn = jax.random.split(mkey)
-                sneg = sample_alias(
-                    self.accept, self.alias, knn,
-                    (n_pools, cfg.shared_negatives),
-                )
-                seed = jax.random.randint(
-                    kpp, (), 0, 2**31 - 1, dtype=jnp.int32
-                )
-                ne, ce, loss, npairs, served = fused_walk_step_rowsharded(
-                    params.node_emb, params.ctx_emb, wk, sneg, lr,
-                    cfg.negative / cfg.shared_negatives, seed,
-                    window=cfg.window,
-                    capacity_slack=cfg.a2a_capacity_slack,
-                    pool_refresh=cfg.walk_pool_refresh,
-                    mxu_bf16=cfg.walk_kernel_bf16,
-                    interpret=interp,
-                )
-                served = jax.lax.pmean(served, ("data", "model"))
-            elif use_banded and self.layout.model_size > 1:
+            if use_banded and self.layout.model_size > 1:
                 from come_tpu.parallel.walk_exchange import (
                     banded_walk_step_rowsharded,
                 )
@@ -560,6 +656,7 @@ class ShardedComETrainer(ComETrainer):
                     walk_block=cfg.banded_walk_block,
                     capacity_slack=cfg.a2a_capacity_slack,
                     mxu_bf16=cfg.walk_kernel_bf16,
+                    overlap=cfg.overlap_exchange,
                 )
                 served = jax.lax.pmean(served, ("data", "model"))
                 ce = params.ctx_emb  # zero-size placeholder while packed
@@ -830,7 +927,7 @@ class ShardedComETrainer(ComETrainer):
         if self.cfg.negative_mode == "shared":
             return (
                 "xla-a2a"
-                if self.cfg.row_exchange == "a2a"
+                if self.row_exchange == "a2a"
                 and self.layout.model_size > 1
                 else "xla-psum"
             )

@@ -14,6 +14,21 @@ macro step materializes only the rows that step actually touches:
   5. scatter = delta rows (new - old compact rows) ride the same buckets
                back to their owners, then partial deltas psum over 'data'
 
+Exchange/compute overlap (BASELINE.json:5 "exchanged all-to-all over ICI,
+OVERLAPPED with the SpMM-style aggregation and gradient scatter-add"):
+
+  * ids are param-independent, so steps 1–2 and the id half of step 3 are
+    HOISTED out of the training loop for every macro step / block at once
+    (``plan_walk_macro_steps`` → ``make_exchange_plans_batched``: one
+    batched all-to-all instead of one per step);
+  * with ``overlap=True`` the ROW gather for step k+1 is issued before
+    step k's update lands (double buffering through the scan carry), so
+    XLA's async collectives run it while step k's kernel computes.  The
+    prefetched rows are one step stale — the same staleness class as the
+    reference's hogwild reads (SURVEY.md §3.2), and the delta routed back
+    is relative to the worker's own gathered base, so sum-of-deltas
+    consistency is unaffected.
+
 Semantics: one macro step is synchronous across all D*M workers
 (sum-of-deltas, the same envelope as the data-parallel tier); within the
 step the kernel's group-sequential hogwild-style updates apply to the
@@ -35,7 +50,95 @@ import math
 import jax
 import jax.numpy as jnp
 
-from come_tpu.parallel.exchange import make_exchange_plan
+from come_tpu.parallel.exchange import (
+    RowExchangePlan,
+    make_exchange_plans_batched,
+    shift_plans,
+)
+
+
+def plan_walk_macro_steps(
+    walks_all: jnp.ndarray,  # [S, B_w, L] this worker's walks (GLOBAL ids)
+    sneg_all: jnp.ndarray,   # [S, ...]    negative pools (GLOBAL ids)
+    rows_per: int,
+    capacity_slack: float,
+    axis: str = "model",
+):
+    """Hoisted exchange planning for S macro steps (ONE id all-to-all).
+
+    Returns (plans, rwalks, rneg, served): ``plans`` has a leading S dim on
+    every leaf (scan xs); ``rwalks``/``rneg`` are the walks/pools remapped
+    to compact row slots; ``served`` [S] is the per-step fraction of real
+    unique ids that fit their owner's bucket.
+    """
+    S = walks_all.shape[0]
+    M = jax.lax.axis_size(axis)
+    v_pad = rows_per * M
+    ids = jnp.concatenate(
+        [walks_all.reshape(S, -1), sneg_all.reshape(S, -1)], axis=1
+    ).astype(jnp.int32)
+    U = ids.shape[1]  # unique count can never exceed this — exact capacity
+    # fill = v_pad sorts after every real id (uq stays sorted for the
+    # searchsorted remap) and is out of range for every shard, so fill
+    # entries are dropped from the exchange without consuming bucket slots
+    uq = jax.vmap(lambda i: jnp.unique(i, size=U, fill_value=v_pad))(ids)
+    cap = max(1, int(math.ceil(U / M * capacity_slack)))
+    plans = make_exchange_plans_batched(uq, rows_per, cap, axis)
+    rwalks = (
+        jax.vmap(jnp.searchsorted)(uq, walks_all.reshape(S, -1))
+        .reshape(walks_all.shape)
+        .astype(jnp.int32)
+    )
+    rneg = (
+        jax.vmap(jnp.searchsorted)(uq, sneg_all.reshape(S, -1))
+        .reshape(sneg_all.shape)
+        .astype(jnp.int32)
+    )
+    # served over REAL unique ids only: fill entries (uq == v_pad) belong to
+    # owner M whose clamped bucket start can mark them "served" and inflate
+    # the metric whenever the batch has many duplicate ids
+    real = uq < v_pad
+    served = jnp.sum(
+        (plans.served & real).astype(jnp.float32), axis=1
+    ) / jnp.maximum(jnp.sum(real.astype(jnp.float32), axis=1), 1.0)
+    return plans, rwalks, rneg, served
+
+
+def fused_walk_step_prepped(
+    node_shard: jnp.ndarray,
+    ctx_shard: jnp.ndarray,
+    rows_n: jnp.ndarray,   # [U, d] gathered compact node rows (may be stale)
+    rows_c: jnp.ndarray,   # [U, d] gathered compact ctx rows
+    plan: RowExchangePlan,
+    rwalks: jnp.ndarray,   # [B_w, L] walks in COMPACT slots
+    rneg: jnp.ndarray,     # [n_pools, KP] pools in COMPACT slots
+    lr,
+    negative_weight,
+    seed,
+    *,
+    window: int,
+    pool_refresh: int = 1,
+    mxu_bf16: bool = False,
+    interpret: bool = False,
+):
+    """Kernel + delta routing for one PREPPED macro step.
+
+    Returns (dn, dc, loss, n_pairs): per-worker partial deltas for the
+    owned row shards (NOT yet psum'd over 'data') and the worker-local
+    loss/pair count.  The delta is relative to the gathered base rows, so
+    prefetched (stale) rows stay sum-of-deltas consistent.
+    """
+    from come_tpu.ops.pallas_walk_sgns import fused_walk_sgns_step
+
+    new_cn, new_cc, loss, npairs = fused_walk_sgns_step(
+        rows_n, rows_c, rwalks, rneg, lr, negative_weight, seed,
+        window=window, interpret=interpret,
+        reduced_window=not interpret,
+        mxu_bf16=mxu_bf16, pool_refresh=pool_refresh,
+    )
+    dn = plan.scatter_add(jnp.zeros_like(node_shard), new_cn - rows_n)
+    dc = plan.scatter_add(jnp.zeros_like(ctx_shard), new_cc - rows_c)
+    return dn, dc, loss, npairs
 
 
 def fused_walk_step_rowsharded(
@@ -55,7 +158,12 @@ def fused_walk_step_rowsharded(
     axis: str = "model",
     data_axis: str = "data",
 ):
-    """One O1 macro step on row-sharded tables.  Call inside shard_map.
+    """One SELF-CONTAINED O1 macro step on row-sharded tables (plan + gather
+    + kernel + scatter, no pipelining).  Call inside shard_map.  The
+    trainer's epoch loop uses the hoisted/overlapped form instead
+    (``plan_walk_macro_steps`` + ``fused_walk_step_prepped``); this entry
+    point remains the simple one-step API and the reference semantics for
+    tests.
 
     Returns (node_shard', ctx_shard', loss, n_pairs, served_fraction):
     ``loss`` and ``n_pairs`` are psum'd over BOTH mesh axes (matching the
@@ -64,52 +172,23 @@ def fused_walk_step_rowsharded(
     fit their owner's bucket (fill entries excluded).  The table shards
     come back identical across the data axis (deltas psum'd).
     """
-    from come_tpu.ops.pallas_walk_sgns import fused_walk_sgns_step
-
-    rows_per, d = node_shard.shape
-    M = jax.lax.axis_size(axis)
-    v_pad = rows_per * M
-
-    ids = jnp.concatenate(
-        [walks.reshape(-1), sneg.reshape(-1)]
-    ).astype(jnp.int32)
-    U = ids.shape[0]  # unique count can never exceed this — exact capacity
-    # fill = v_pad sorts after every real id (uq stays sorted for the
-    # searchsorted remap) and is out of range for every shard, so fill
-    # entries are dropped from the exchange without consuming bucket slots
-    uq = jnp.unique(ids, size=U, fill_value=v_pad)
-    cap = max(1, int(math.ceil(U / M * capacity_slack)))
-    plan = make_exchange_plan(uq, rows_per, cap, axis)
-    cn = plan.gather(node_shard)  # [U, d]; unserved/fill rows are 0
-    cc = plan.gather(ctx_shard)
-
-    rwalks = jnp.searchsorted(uq, walks).astype(jnp.int32)
-    rneg = jnp.searchsorted(uq, sneg).astype(jnp.int32)
-
-    new_cn, new_cc, loss, npairs = fused_walk_sgns_step(
-        cn, cc, rwalks, rneg, lr, negative_weight, seed,
-        window=window, interpret=interpret,
-        reduced_window=not interpret,
-        mxu_bf16=mxu_bf16, pool_refresh=pool_refresh,
+    plans, rwalks, rneg, served = plan_walk_macro_steps(
+        walks[None], sneg[None], node_shard.shape[0], capacity_slack, axis
     )
-
-    # route delta rows back to their owners (unserved entries dropped by the
-    # plan — their pairs trained against zero rows and contributed ~nothing
-    # to served rows), then sum partial deltas across every worker replica
-    dn = plan.scatter_add(jnp.zeros_like(node_shard), new_cn - cn)
-    dc = plan.scatter_add(jnp.zeros_like(ctx_shard), new_cc - cc)
+    plan = jax.tree.map(lambda a: a[0], plans)
+    rows_n = plan.gather(node_shard)  # [U, d]; unserved/fill rows are 0
+    rows_c = plan.gather(ctx_shard)
+    dn, dc, loss, npairs = fused_walk_step_prepped(
+        node_shard, ctx_shard, rows_n, rows_c, plan,
+        rwalks[0], rneg[0], lr, negative_weight, seed,
+        window=window, pool_refresh=pool_refresh,
+        mxu_bf16=mxu_bf16, interpret=interpret,
+    )
     dn = jax.lax.psum(dn, data_axis)
     dc = jax.lax.psum(dc, data_axis)
-    # served over REAL unique ids only: fill entries (uq == v_pad) belong to
-    # owner M whose clamped bucket start can mark them "served" and inflate
-    # the metric whenever the batch has many duplicate ids
-    real = uq < v_pad
-    served = jnp.sum((plan.served & real).astype(jnp.float32)) / jnp.maximum(
-        jnp.sum(real.astype(jnp.float32)), 1.0
-    )
     loss = jax.lax.psum(loss, (data_axis, axis))
     npairs = jax.lax.psum(npairs, (data_axis, axis))
-    return node_shard + dn, ctx_shard + dc, loss, npairs, served
+    return node_shard + dn, ctx_shard + dc, loss, npairs, served[0]
 
 
 def banded_walk_step_rowsharded(
@@ -125,6 +204,7 @@ def banded_walk_step_rowsharded(
     capacity_slack: float = 2.0,
     mxu_bf16: bool = True,
     reduced_window: bool = True,
+    overlap: bool = True,
     axis: str = "model",
     data_axis: str = "data",
 ):
@@ -137,11 +217,14 @@ def banded_walk_step_rowsharded(
     footprint is the block's own rows.  This is the tier that carries
     BASELINE config 5 (synthetic-10m, V >= 500k) under the mesh.
 
-    Blocks of ``walk_block`` walks run sequentially; each block exchanges
-    its rows over ICI and accumulates its delta LOCALLY (gathers read
-    shard + own accumulated delta, the per-worker hogwild envelope); the
-    accumulated delta psums over 'data' ONCE per macro step so the
-    full-shard collective amortizes over all blocks.
+    Blocks of ``walk_block`` walks run sequentially; every block's id
+    exchange is hoisted and batched before the loop, and with
+    ``overlap=True`` block k+1's rows are gathered (one block stale) while
+    block k computes — see the module docstring.  Each block accumulates
+    its delta LOCALLY (gathers read shard + own accumulated delta, the
+    per-worker hogwild envelope); the accumulated delta psums over 'data'
+    ONCE per macro step so the full-shard collective amortizes over all
+    blocks.
 
     Returns (combo_shard', loss, n_pairs, served_fraction); loss/n_pairs
     are psum'd over BOTH mesh axes.
@@ -150,8 +233,6 @@ def banded_walk_step_rowsharded(
 
     rows_per, dd = combo_shard.shape
     d = dd // 2
-    M = jax.lax.axis_size(axis)
-    v_pad = rows_per * M
     B, L = walks.shape
     Bc = min(walk_block, B)
     G = -(-B // Bc)
@@ -167,47 +248,73 @@ def banded_walk_step_rowsharded(
         wrows = jnp.full((G, Bc, L), window, jnp.int32)
     pool = sneg.reshape(-1).astype(jnp.int32)
     KP = pool.shape[0]
-    U = Bc * L + KP
-    cap = max(1, int(math.ceil(U / M * capacity_slack)))
     lr = jnp.asarray(lr, jnp.float32)
+    U = Bc * L + KP
 
-    def block(delta, xs):
-        w, wr = xs  # [Bc, L], [Bc, L]
-        ids = jnp.concatenate([w.reshape(-1), pool])
-        uq = jnp.unique(ids, size=U, fill_value=v_pad)
-        plan = make_exchange_plan(uq, rows_per, cap, axis)
-        rows = plan.gather(combo_shard + delta)  # [U, 2d]; unserved rows 0
-        rw = jnp.searchsorted(uq, w.reshape(-1)).astype(jnp.int32)
-        rp = jnp.searchsorted(uq, pool).astype(jnp.int32)
-        prow = jnp.take(rows, rw, axis=0).reshape(Bc, L, 2 * d)
+    # hoisted id exchange for every block at once
+    pool_g = jnp.broadcast_to(pool, (G, KP))
+    plans, rw, rp, served_g = plan_walk_macro_steps(
+        walks_g, pool_g, rows_per, capacity_slack, axis
+    )
+
+    def compute(rows, rw_k, rp_k, wr):
+        prow = jnp.take(rows, rw_k.reshape(-1), axis=0).reshape(
+            Bc, L, 2 * d
+        )
         phi = prow[:, :, :d]
         ctx = prow[:, :, d:]
-        cneg = jnp.take(rows, rp, axis=0)[:, d:]
+        cneg = jnp.take(rows, rp_k, axis=0)[:, d:]
         loss, npairs, (d_phi, d_ctx, d_cneg) = banded_block_grads(
             phi, ctx, cneg, wr, negative_weight, mxu_bf16=mxu_bf16
         )
         # combine duplicate slots per COMPACT row, then route once
         upd = jnp.zeros((U, 2 * d), jnp.float32)
-        upd = upd.at[rw].add(
+        upd = upd.at[rw_k.reshape(-1)].add(
             jnp.concatenate([d_phi, d_ctx], axis=-1).reshape(
                 Bc * L, 2 * d
             )
         )
-        upd = upd.at[rp].add(
+        upd = upd.at[rp_k].add(
             jnp.concatenate([jnp.zeros_like(d_cneg), d_cneg], axis=-1)
         )
-        delta = plan.scatter_add(delta, upd * (-lr))
-        real = uq < v_pad
-        served = jnp.sum(
-            (plan.served & real).astype(jnp.float32)
-        ) / jnp.maximum(jnp.sum(real.astype(jnp.float32)), 1.0)
-        return delta, (loss, npairs, served)
+        return upd, loss, npairs
 
     delta0 = jnp.zeros_like(combo_shard)
-    delta, (losses, npairs, srv) = jax.lax.scan(
-        block, delta0, (walks_g, wrows)
-    )
+    rw_b = rw.reshape(G, Bc, L)
+    if overlap:
+        plan0 = jax.tree.map(lambda a: a[0], plans)
+        rows0 = plan0.gather(combo_shard)
+
+        def block(carry, xs):
+            delta, rows = carry
+            plan_cur, plan_next, rw_k, rp_k, wr = xs
+            # prefetch block k+1's rows BEFORE block k's scatter lands: no
+            # data dependency on this block's compute, so the a2a overlaps
+            # it (rows are one block stale — hogwild-class)
+            rows_next = plan_next.gather(combo_shard + delta)
+            upd, loss, npairs = compute(rows, rw_k, rp_k, wr)
+            delta = plan_cur.scatter_add(delta, upd * (-lr))
+            return (delta, rows_next), (loss, npairs)
+
+        (delta, _), (losses, npairs) = jax.lax.scan(
+            block,
+            (delta0, rows0),
+            (plans, shift_plans(plans), rw_b, rp, wrows),
+        )
+    else:
+
+        def block(delta, xs):
+            plan_cur, rw_k, rp_k, wr = xs
+            rows = plan_cur.gather(combo_shard + delta)
+            upd, loss, npairs = compute(rows, rw_k, rp_k, wr)
+            delta = plan_cur.scatter_add(delta, upd * (-lr))
+            return delta, (loss, npairs)
+
+        delta, (losses, npairs) = jax.lax.scan(
+            block, delta0, (plans, rw_b, rp, wrows)
+        )
+
     combo = combo_shard + jax.lax.psum(delta, data_axis)
     loss = jax.lax.psum(jnp.sum(losses), (data_axis, axis))
     npair = jax.lax.psum(jnp.sum(npairs), (data_axis, axis))
-    return combo, loss, npair, jnp.mean(srv)
+    return combo, loss, npair, jnp.mean(served_g)

@@ -88,7 +88,7 @@ def test_banded_rowsharded_needs_a2a(sbm512):
     to the flat micro-batched path)."""
     g, _ = sbm512
     mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
-    t = ShardedComETrainer(g, _cfg(), mesh)  # row_exchange='psum'
+    t = ShardedComETrainer(g, _cfg(row_exchange="psum"), mesh)
     assert t.o1_tier() == "xla-psum"
     assert np.isfinite(t.o1_epoch())
 

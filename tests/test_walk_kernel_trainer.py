@@ -81,20 +81,41 @@ def test_walk_kernel_data_parallel_mesh():
     assert nmi_score(labels, t.communities()) > 0.5
 
 
-def test_walk_kernel_requires_model_1():
-    """model>1 with the psum exchange falls back to the XLA sharded path
-    (the row-sharded kernel tier needs the bucketed a2a)."""
+def test_walk_kernel_requires_a2a():
+    """model>1 with the EXPLICIT psum exchange falls back to the XLA
+    sharded path (the row-sharded kernel tier needs the bucketed a2a)."""
     import jax
 
     from come_tpu.parallel import ShardedComETrainer, make_mesh
 
     g, _ = sbm_graph(512, 4, p_in=0.2, p_out=0.01, seed=3)
     mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
-    t = ShardedComETrainer(g, _cfg(), mesh)
-    assert t.cfg.row_exchange == "psum"
+    t = ShardedComETrainer(g, _cfg(row_exchange="psum"), mesh)
+    assert t.row_exchange == "psum"
     assert not t._use_walk_kernel()
     assert t.o1_tier() == "xla-psum"
     assert np.isfinite(t.o1_epoch())  # XLA path still trains
+
+
+def test_default_exchange_is_a2a_at_model_gt_1():
+    """row_exchange='auto' (the default) resolves to the bucketed a2a on
+    any model>1 mesh — the flagship row-sharded tiers are what a user
+    gets with no flags (VERDICT r2 next-round item 1)."""
+    import jax
+
+    from come_tpu.parallel import ShardedComETrainer, make_mesh
+
+    g, _ = sbm_graph(512, 4, p_in=0.2, p_out=0.01, seed=3)
+    assert ComEConfig().row_exchange == "auto"
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    t = ShardedComETrainer(g, _cfg(), mesh)  # default exchange
+    assert t.row_exchange == "a2a"
+    assert t.o1_tier() == "walk-kernel-rowsharded"
+    # model=1 meshes don't need (or build) the exchange machinery
+    mesh1 = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    t1 = ShardedComETrainer(g, _cfg(), mesh1)
+    assert t1.row_exchange == "psum"
+    assert t1._perm is None
 
 
 def test_walk_kernel_rowsharded_trains():
@@ -142,7 +163,9 @@ def test_walk_kernel_rowsharded_matches_xla_quality():
     mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
     tk = ShardedComETrainer(g, _cfg(row_exchange="a2a"), mesh)
     assert tk.o1_tier() == "walk-kernel-rowsharded"
-    tx = ShardedComETrainer(g, _cfg(pallas="never"), mesh)
+    tx = ShardedComETrainer(
+        g, _cfg(pallas="never", row_exchange="psum"), mesh
+    )
     assert tx.o1_tier() == "xla-psum"
     for _ in range(5):
         lk = tk.o1_epoch()
