@@ -3,6 +3,8 @@ from come_tpu.iohelpers.persist import (
     load_embedding_word2vec,
     save_checkpoint,
     load_checkpoint,
+    save_checkpoint_sharded,
+    load_checkpoint_sharded,
 )
 
 __all__ = [
@@ -10,4 +12,6 @@ __all__ = [
     "load_embedding_word2vec",
     "save_checkpoint",
     "load_checkpoint",
+    "save_checkpoint_sharded",
+    "load_checkpoint_sharded",
 ]

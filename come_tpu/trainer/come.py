@@ -718,13 +718,23 @@ class ComETrainer:
             if checkpoint_dir:
                 from pathlib import Path
 
-                from come_tpu.iohelpers import save_checkpoint
-
                 cd = Path(checkpoint_dir)
                 cd.mkdir(parents=True, exist_ok=True)
-                save_checkpoint(cd / f"state_iter{it}.npz", self.state)
+                self.save_checkpoint(cd / f"state_iter{it}.npz")
             self._history.append(rec)
         return self._history
+
+    # ----------------------------------------------------------- persistence
+
+    def save_checkpoint(self, path) -> None:
+        from come_tpu.iohelpers import save_checkpoint
+
+        save_checkpoint(path, self.state)
+
+    def load_checkpoint(self, path) -> None:
+        from come_tpu.iohelpers import load_checkpoint
+
+        self.state = load_checkpoint(path)
 
     # ------------------------------------------------------------------ views
 

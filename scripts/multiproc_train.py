@@ -34,6 +34,9 @@ def main(argv=None) -> int:
     p.add_argument("--tier", default="xla-a2a",
                    choices=["xla-psum", "xla-a2a", "walk-kernel-rowsharded",
                             "banded-rowsharded"])
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="also exercise a sharded checkpoint+resume "
+                        "round trip (bit-exact, no host gather)")
     args = p.parse_args(argv)
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -105,9 +108,41 @@ def main(argv=None) -> int:
     t.fit_gmm()
     l3 = t.o3_pass()
     nmi = nmi_score(labels, t.communities())
+
+    ckpt = ""
+    if args.checkpoint_dir:
+        # sharded checkpoint + resume round trip across the process
+        # boundary: per-process shard files, NO host gather (the old
+        # save_checkpoint's np.asarray would raise on the non-addressable
+        # model-sharded tables here), bit-exact continuation
+        from pathlib import Path
+
+        path = Path(args.checkpoint_dir) / "state"
+        t.save_checkpoint(path)
+        t2 = ShardedComETrainer(g, cfg, mesh)
+        t2.load_checkpoint(path)
+        t2.host_key = t.host_key  # align host-side walk-permutation RNG
+        for a, b in zip(
+            jax.tree.leaves(t.state.params), jax.tree.leaves(t2.state.params)
+        ):
+            for sa, sb in zip(a.addressable_shards, b.addressable_shards):
+                np.testing.assert_array_equal(
+                    np.asarray(sa.data), np.asarray(sb.data)
+                )
+        la, lb = t.o1_epoch(), t2.o1_epoch()
+        assert la == lb, (la, lb)
+        for sa, sb in zip(
+            t.state.params.node_emb.addressable_shards,
+            t2.state.params.node_emb.addressable_shards,
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(sa.data), np.asarray(sb.data)
+            )
+        ckpt = " ckpt=ok"
+
     print(
         f"MULTIPROC pid={args.process_id} o1={last:.6f} o2={l2:.6f} "
-        f"o3={l3:.6f} nmi={nmi:.4f} served={t.last_o1_served:.4f}",
+        f"o3={l3:.6f} nmi={nmi:.4f} served={t.last_o1_served:.4f}{ckpt}",
         flush=True,
     )
     return 0

@@ -26,13 +26,18 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch(tier: str, timeout: float = 420.0):
+def _launch(tier: str, timeout: float = 420.0, checkpoint_dir=None):
     port = _free_port()
     procs = []
     for pid in range(2):
         env = os.environ.copy()
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
         env.pop("JAX_PLATFORMS", None)
+        extra = (
+            ["--checkpoint-dir", str(checkpoint_dir)]
+            if checkpoint_dir
+            else []
+        )
         procs.append(
             subprocess.Popen(
                 [
@@ -42,7 +47,7 @@ def _launch(tier: str, timeout: float = 420.0):
                     "--num-processes", "2",
                     "--process-id", str(pid),
                     "--tier", tier,
-                ],
+                ] + extra,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
                 text=True,
@@ -80,3 +85,18 @@ def test_two_process_cpu_training(tier):
     assert r0.split("pid=0 ")[1] == r1.split("pid=1 ")[1], (r0, r1)
     nmi = float(r0.split("nmi=")[1].split()[0])
     assert nmi > 0.3, r0
+
+
+def test_two_process_sharded_checkpoint_resume(tmp_path):
+    """Sharded checkpoint + bit-exact resume across the process boundary
+    (VERDICT r2 next-round item 4): per-process shard files, no host
+    gather of the non-addressable model-sharded tables, identical
+    continuation after restore (asserted inside multiproc_train.py)."""
+    procs, outs = _launch("xla-a2a", checkpoint_dir=tmp_path)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"process failed:\n{out[-4000:]}"
+    for out in outs:
+        assert "ckpt=ok" in _result_line(out), out[-2000:]
+    # one shard file per process, none missing
+    files = sorted(f.name for f in tmp_path.iterdir())
+    assert files == ["state.proc0.npz", "state.proc1.npz"], files
