@@ -98,3 +98,75 @@ def test_synthetic_registry_entries():
     ds = get_dataset("dblp")  # smallest synthetic stand-in
     assert ds.num_communities == 5
     assert ds.graph.num_nodes == 13184
+
+
+# ---- real-format fixture files (tests/fixtures; VERDICT r2 item 3) ----
+
+FIXTURES = __import__("pathlib").Path(__file__).resolve().parent / "fixtures"
+
+
+def test_matfile_fixture_loads():
+    """mini.mat mirrors the BlogCatalog .mat layout (sparse `network` +
+    sparse `group`) the reference's load_matfile reads [R, SURVEY.md C2]."""
+    from come_tpu.graphs.loaders import load_mat_labels, load_matfile
+
+    g = load_matfile(FIXTURES / "mini.mat")
+    labels = load_mat_labels(FIXTURES / "mini.mat")
+    assert g.num_nodes == 50
+    assert labels.shape == (50, 3)
+    assert set(np.unique(labels)) <= {0, 1}
+    assert labels.sum(axis=1).min() >= 1  # every node labeled
+    assert (labels.sum(axis=1) > 1).any()  # some multi-label, like real BC
+    # undirected: symmetric arc counts
+    src, dst = g.arcs()
+    rev = set(zip(dst.tolist(), src.tolist()))
+    assert all((u, v) in rev for u, v in zip(src.tolist(), dst.tolist()))
+
+
+def test_fixture_formats_agree():
+    """The same tiny graph in .mat / .adjlist / .edgelist formats loads to
+    identical structure (real-format parsers cross-checked)."""
+    from come_tpu.graphs.loaders import (
+        load_adjacencylist,
+        load_edgelist,
+        load_ground_truth,
+        load_matfile,
+    )
+
+    gm = load_matfile(FIXTURES / "mini.mat")
+    ga = load_adjacencylist(FIXTURES / "mini.adjlist")
+    ge = load_edgelist(FIXTURES / "mini.edgelist")
+    assert gm.num_nodes == ga.num_nodes == ge.num_nodes
+    np.testing.assert_array_equal(gm.degrees, ga.degrees)
+    np.testing.assert_array_equal(gm.degrees, ge.degrees)
+    sm, dm = gm.arcs()
+    sa, da = ga.arcs()
+    np.testing.assert_array_equal(sm, sa)
+    np.testing.assert_array_equal(dm, da)
+    labels = load_ground_truth(FIXTURES / "mini_labels.txt")
+    assert labels.shape == (50,)
+    assert set(np.unique(labels)) <= {0, 1, 2}
+
+
+def test_fixture_trains_end_to_end():
+    """PR1-shape smoke: the .mat-loaded fixture trains O1 and clusters."""
+    from come_tpu.config import ComEConfig
+    from come_tpu.evaluation import nmi_score
+    from come_tpu.graphs.loaders import load_ground_truth, load_matfile
+    from come_tpu.trainer import ComETrainer
+
+    g = load_matfile(FIXTURES / "mini.mat")
+    labels = load_ground_truth(FIXTURES / "mini_labels.txt")
+    cfg = ComEConfig(
+        dim=16, num_communities=3, walk_length=12, walks_per_node=6,
+        window=4, negative=3, batch_walks=64, batch_pairs=512,
+        outer_iters=0, pretrain_epochs=6, lr=0.05, reg_covar=1e-2,
+        gmm_n_init=2,
+    )
+    t = ComETrainer(g, cfg)
+    first = t.o1_epoch()
+    for _ in range(5):
+        last = t.o1_epoch()
+    assert last < first
+    t.fit_gmm()
+    assert nmi_score(labels, t.communities()) > 0.3
