@@ -17,8 +17,12 @@ times only the SGD hot loop over the pre-generated corpus, SURVEY.md C3,
 items 2/3/6):
 
   o1_fresh_walks  O1 with walks regenerated every epoch
-  o2              the edge-proximity pass (tied tables, micro-batched)
+  o2              the edge-proximity pass (paired walk-kernel fast path)
   full_loop       one outer iteration: GMM fit + O1 + O2 + O3 + eval-free
+  phase_ms        per-phase breakdown of the full loop (gmm/o1/o2/o3)
+
+Headline statistic is the MEDIAN of 3 chained-run samples (max kept as
+``value_max``).
 
 All pair counts come from the kernels' own npairs counters
 (``trainer.last_o1_pairs`` / ``last_o2_pairs``), not mask-rate estimates.
@@ -126,26 +130,32 @@ def main() -> None:
     tf.o2_epoch()  # warmup/compile
     o2 = _chained_rate(tf, tf.o2_epoch, tf.o2_sync, 3, "last_o2_pairs")
 
-    # ---- full loop: one outer iteration (GMM fit + O1 + O2 + O3) ----
-    def outer():
-        tf.fit_gmm()
-        tf.o1_epoch()
-        tf.o2_epoch()
-        tf.o3_pass()
+    # ---- full loop: one outer iteration, per-phase attribution ----
+    def flush():
+        # force trailing dispatches; block_until_ready is unreliable over
+        # the tunnel, a scalar read is one D2H round trip
+        float(tf.state.params.node_emb[0, 0])
 
-    outer()  # warmup/compile GMM + O3
+    def phase_ms(fn, sync, n=2):
+        fn()  # warm/compile
+        sync()
+        t0 = time.perf_counter()
+        for _ in range(n):
+            fn()
+        sync()
+        return (time.perf_counter() - t0) / n * 1e3
+
     tf.stats_sync(False)
-    t0 = time.perf_counter()
-    outer()
-    outer()
-    tf.o1_sync()
-    tf.o2_sync()
-    # force the trailing O3 dispatch too (its outputs aren't upstream of
-    # any stats vector); block_until_ready is unreliable over the tunnel
-    float(tf.state.params.node_emb[0, 0])
-    dt = (time.perf_counter() - t0) / 2
+    phases = {
+        "gmm": phase_ms(tf.fit_gmm, flush),
+        "o1": phase_ms(tf.o1_epoch, lambda: (tf.o1_sync(), flush())),
+        "o2": phase_ms(tf.o2_epoch, lambda: (tf.o2_sync(), flush())),
+        "o3": phase_ms(tf.o3_pass, flush),
+    }
     tf.stats_sync(True)
+    dt = sum(phases.values()) / 1e3
     full_loop = (tf.last_o1_pairs + tf.last_o2_pairs) / dt
+    phases = {k: round(v, 1) for k, v in phases.items()}
 
     baseline = 6.25e7  # 1e9 / 16 chips (v5e-16), BASELINE.json:5
     print(
@@ -159,6 +169,7 @@ def main() -> None:
                 "o1_fresh_walks": round(o1_fresh, 1),
                 "o2": round(o2, 1),
                 "full_loop": round(full_loop, 1),
+                "phase_ms": phases,
                 "pairs_per_epoch": round(t.last_o1_pairs, 1),
             }
         )

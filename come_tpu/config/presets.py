@@ -134,6 +134,9 @@ class ComEConfig:
     reg_covar: float = 1e-5
     gmm_n_init: int = 1
     gmm_max_iter: int = 60
+    # EM convergence tolerance on the mean log-likelihood (sklearn's `tol`,
+    # which the reference inherits); 0 = always run gmm_max_iter iterations
+    gmm_tol: float = 1e-3
     # per-node O3 gradient-norm bound (None = reference behavior, no guard)
     o3_grad_clip: float | None = 5.0
     # reference EXP_TABLE clamp emulation; None = exact sigmoid
@@ -162,6 +165,9 @@ PRESETS: dict[str, ComEConfig] = {
         # 34 points in 16-D: without strong covariance regularization the
         # EM fit is near-singular and inv_cov blows up the O3 step
         reg_covar=0.1,
+        # tiny data: tol-based EM stopping quits on near-flat early
+        # likelihood and degrades the fit; full iterations cost nothing
+        gmm_tol=0.0,
         o3_grad_clip=1.0,
     ),
     # config 2/3: BlogCatalog O1+O2(+O3), d=128, k=5, K=39.

@@ -186,6 +186,7 @@ def walk_banded_kernel_sequential(
     lr: float,
     walks_per_group: int,
     pool_refresh: int = 1,
+    paired: bool = False,
 ):
     """Oracle for a MULTI-GROUP fused-kernel step (ops/pallas_walk_sgns.py):
     the exact sequential composition the kernel executes, built from the
@@ -209,6 +210,8 @@ def walk_banded_kernel_sequential(
       walks: int [B, L] with B a multiple of walks_per_group.
       pools: int [n_blocks, KP] (one pool per R-group block).
       wrow:  int [B, L] per-center window draws.
+      paired: O2 edge mode — slots 2i/2i+1 are one edge and each slot's
+        only context is its partner (wrow ignored).
     Returns (emb_in', emb_out', loss, n_pairs).
     """
     ei = emb_in.astype(np.float32).copy()
@@ -235,7 +238,12 @@ def walk_banded_kernel_sequential(
                 ww = int(wr[b, t])
                 phi = ei[i]
                 n_t = 0
-                for u in range(max(0, t - ww), min(L, t + ww + 1)):
+                ctxs = (
+                    [t ^ 1]
+                    if paired
+                    else range(max(0, t - ww), min(L, t + ww + 1))
+                )
+                for u in ctxs:
                     if u == t:
                         continue
                     j = int(w[b, u])

@@ -31,6 +31,9 @@ class ParityReport:
     # the per-worker sum-of-deltas composition (VERDICT r2 item 6)
     o1_fast_multi_max_err: float = float("nan")
     o1_fast_rowsharded_max_err: float = float("nan")
+    # O2 paired-kernel row: the edge-mode walk kernel (tied composition
+    # new_in + new_out - old) vs the paired sequential oracle
+    o2_fanout_max_err: float = float("nan")
 
     def __str__(self):
         s = "PASS" if self.passed else "FAIL"
@@ -40,7 +43,8 @@ class ParityReport:
             f"o1_fast={self.o1_fast_max_err:.2e} "
             f"o2_fast={self.o2_fast_max_err:.2e} "
             f"o1_fast_multi={self.o1_fast_multi_max_err:.2e} "
-            f"o1_fast_rowsharded={self.o1_fast_rowsharded_max_err:.2e}"
+            f"o1_fast_rowsharded={self.o1_fast_rowsharded_max_err:.2e} "
+            f"o2_fanout={self.o2_fanout_max_err:.2e}"
         )
 
 
@@ -213,6 +217,34 @@ def check_gradient_parity(
         loss_rel, abs(float(mloss) - o_mloss) / max(abs(o_mloss), 1e-9)
     )
 
+    # O2-fanout: the paired (edge-mode) kernel with tied composition
+    # (trainer._o2_epoch_kernel) vs the paired sequential oracle run on
+    # two equal table copies composed the same way.
+    EPR = 6  # edges per row (12 slots)
+    rows2 = np.empty((2 * nw, 2 * EPR), np.int32)
+    eu = rng.integers(0, V, (2 * nw, EPR))
+    ev = rng.integers(0, V, (2 * nw, EPR))
+    rows2[:, 0::2] = eu
+    rows2[:, 1::2] = ev
+    pool2 = rng.integers(0, V, (1, KP)).astype(np.int32)
+    pi_, po_, ploss, pnp = fused_walk_sgns_step(
+        jnp.asarray(emb_in), jnp.asarray(emb_in), jnp.asarray(rows2),
+        jnp.asarray(pool2), lr, negw, 0, window=1, interpret=True,
+        reduced_window=False, pool_refresh=2, paired=True,
+    )
+    tied = np.asarray(pi_) + np.asarray(po_) - emb_in
+    o_pi, o_po, o_ploss, o_pnp = oracle.walk_banded_kernel_sequential(
+        emb_in, emb_in, rows2, pool2, np.ones_like(rows2), negw, lr, nw,
+        pool_refresh=2, paired=True,
+    )
+    o_tied = o_pi + o_po - emb_in
+    o2p_err = float(np.abs(tied - o_tied).max()) / lr
+    o2p_scale = float(np.abs((o_tied - emb_in) / lr).max())
+    assert float(pnp) == o_pnp == rows2.size, (float(pnp), o_pnp)
+    loss_rel = max(
+        loss_rel, abs(float(ploss) - o_ploss) / max(abs(o_ploss), 1e-9)
+    )
+
     # O1-fast-rowsharded: the (2,2)-mesh row-sharded kernel step
     # (parallel/walk_exchange.py) vs per-worker sequential oracles composed
     # by sum-of-deltas.  Needs >= 4 local devices (the test suite's
@@ -232,12 +264,13 @@ def check_gradient_parity(
         and o1f_err < atol + rtol * o1f_scale
         and o2f_err < atol + rtol * o2f_scale
         and o1m_err < atol + rtol * o1m_scale
+        and o2p_err < atol + rtol * o2p_scale
         and not (o1r_err == o1r_err and o1r_err >= atol + rtol * o1r_scale)
         and loss_rel < 1e-3
     )
     return ParityReport(
         o1_err, o2_err, o3_err, loss_rel, passed, o1f_err, o2f_err,
-        o1m_err, o1r_err,
+        o1m_err, o1r_err, o2p_err,
     )
 
 

@@ -82,7 +82,9 @@ def _kmeans_init(X, K, key, iters: int = 8):
     return jax.nn.one_hot(jnp.argmin(d2, axis=1), K, dtype=X.dtype)
 
 
-@partial(jax.jit, static_argnames=("num_components", "max_iter", "n_init"))
+@partial(
+    jax.jit, static_argnames=("num_components", "max_iter", "n_init", "tol")
+)
 def gmm_em_fit(
     X: jnp.ndarray,
     num_components: int,
@@ -90,8 +92,16 @@ def gmm_em_fit(
     n_init: int = 1,
     max_iter: int = 60,
     reg_covar: float = 1e-5,
+    tol: float = 1e-3,
 ):
     """Fit a full-covariance GMM; restarts batched via vmap.
+
+    ``tol``: EM stops once the mean log-likelihood improves by less than
+    this between iterations (sklearn's ``tol`` convergence rule [R,
+    SURVEY.md C8] — the reference inherits tol=1e-3); ``max_iter`` stays
+    the hard cap.  tol=0 runs all max_iter iterations.  On BlogCatalog-
+    scale fits EM converges in ~10-20 iterations, so the while_loop form
+    cuts the dominant full-loop phase ~3x vs a fixed 60-iteration scan.
 
     Returns dict(means [K,d], chol [K,d,d], inv_cov [K,d,d],
     log_weights [K], resp [N,K], log_likelihood scalar) of the best restart.
@@ -103,14 +113,22 @@ def gmm_em_fit(
         resp0 = _kmeans_init(X, K, k)
         means, chol, log_w = _m_step(X, resp0, reg_covar)
 
-        def em(carry, _):
-            means, chol, log_w = carry
-            resp, ll = _e_step(X, means, chol, log_w)
-            means, chol, log_w = _m_step(X, resp, reg_covar)
-            return (means, chol, log_w), ll
+        def em_cond(c):
+            it, prev_ll, ll, *_ = c
+            if tol <= 0:  # static: early stop disabled
+                return it < max_iter
+            improving = (it < 2) | (ll - prev_ll > tol)
+            return (it < max_iter) & improving
 
-        (means, chol, log_w), lls = jax.lax.scan(
-            em, (means, chol, log_w), None, length=max_iter
+        def em_body(c):
+            it, prev_ll, ll, means, chol, log_w = c
+            resp, new_ll = _e_step(X, means, chol, log_w)
+            means, chol, log_w = _m_step(X, resp, reg_covar)
+            return (it + 1, ll, new_ll, means, chol, log_w)
+
+        ninf = jnp.float32(-jnp.inf)
+        _, _, _, means, chol, log_w = jax.lax.while_loop(
+            em_cond, em_body, (0, ninf, ninf, means, chol, log_w)
         )
         resp, ll = _e_step(X, means, chol, log_w)
         return means, chol, log_w, resp, ll
@@ -145,6 +163,7 @@ def gmm_em_fit_sharded(
     n_init: int = 1,
     max_iter: int = 60,
     reg_covar: float = 1e-5,
+    tol: float = 1e-3,
 ):
     """Distributed EM, called INSIDE shard_map with rows sharded on ``axis``.
 
@@ -231,13 +250,23 @@ def gmm_em_fit_sharded(
     def one_fit(carry, k):
         means, chol, log_w = m_step(init_resp(k))
 
-        def em(c, _):
-            means, chol, log_w = c
-            resp, _ = e_step(means, chol, log_w)
-            return m_step(resp), None
+        # tol-based early stop (see gmm_em_fit); the loop condition is
+        # uniform across shards because ll is psum'd
+        def em_cond(c):
+            it, prev_ll, ll, *_ = c
+            if tol <= 0:  # static: early stop disabled
+                return it < max_iter
+            improving = (it < 2) | (ll - prev_ll > tol)
+            return (it < max_iter) & improving
 
-        (means, chol, log_w), _ = jax.lax.scan(
-            em, (means, chol, log_w), None, length=max_iter
+        def em_body(c):
+            it, prev_ll, ll, means, chol, log_w = c
+            resp, new_ll = e_step(means, chol, log_w)
+            return (it + 1, ll, new_ll) + m_step(resp)
+
+        ninf = jnp.float32(-jnp.inf)
+        _, _, _, means, chol, log_w = jax.lax.while_loop(
+            em_cond, em_body, (0, ninf, ninf, means, chol, log_w)
         )
         resp, ll = e_step(means, chol, log_w)
         best_ll, best = carry
@@ -272,7 +301,7 @@ def gmm_em_fit_sharded(
 
 
 def fit_communities(params, key, n_init: int = 1, max_iter: int = 60,
-                    reg_covar: float = 1e-5):
+                    reg_covar: float = 1e-5, tol: float = 1e-3):
     """Reference ``Community2Vec.fit`` analog: EM on current node_emb, then
     copy means/covs/inverses/responsibilities into the model state."""
     out = gmm_em_fit(
@@ -282,6 +311,7 @@ def fit_communities(params, key, n_init: int = 1, max_iter: int = 60,
         n_init=n_init,
         max_iter=max_iter,
         reg_covar=reg_covar,
+        tol=tol,
     )
     return params.replace(
         centroid=out["means"],

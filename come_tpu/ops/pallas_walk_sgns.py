@@ -118,6 +118,8 @@ def _walk_kernel(
     R: int,
     TABLES_BF16: bool,  # tables arrive u32 row-pair packed, [V/2, d]
     SR: bool,
+    PAIRED: bool,  # O2 mode: slots 2i/2i+1 are one edge (u, v); the band
+    #               trains exactly (u->v) and (v->u), n_t = 1 per slot
     INTERPRET: bool,
 ):
     mxu_t = jnp.bfloat16 if (MXU_BF16 or TABLES_BF16) else jnp.float32
@@ -227,13 +229,24 @@ def _walk_kernel(
         bcol = pcol // Lp
         pcol = pcol % Lp
         off = pcol - prow  # [S, CB]
-        m = (
-            (bcol == brow)
-            & (off != 0)
-            & (jnp.abs(off) <= wrow)
-            & row_ok
-            & (pcol < L)
-        ).astype(jnp.float32)
+        if PAIRED:
+            # edge mode: only the 2-slot partner is a context
+            fcol = jax.lax.broadcasted_iota(jnp.int32, (NWL, CB), 1) + cb * CB
+            frow = jax.lax.broadcasted_iota(jnp.int32, (NWL, CB), 0)
+            m = (
+                ((fcol >> 1) == (frow >> 1))
+                & (off != 0)
+                & row_ok
+                & (pcol < L)
+            ).astype(jnp.float32)
+        else:
+            m = (
+                (bcol == brow)
+                & (off != 0)
+                & (jnp.abs(off) <= wrow)
+                & row_ok
+                & (pcol < L)
+            ).astype(jnp.float32)
         s_blk = jax.lax.dot_general(
             phi_m, ctx_blk_m,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -342,7 +355,7 @@ def _walk_kernel(
     jax.jit,
     static_argnames=(
         "window", "column_block", "interpret", "reduced_window", "mxu_bf16",
-        "pool_refresh",
+        "pool_refresh", "paired",
     ),
 )
 def fused_walk_sgns_step(
@@ -359,6 +372,7 @@ def fused_walk_sgns_step(
     reduced_window: bool = True,
     mxu_bf16: bool = False,
     pool_refresh: int = 1,
+    paired: bool = False,
 ):
     """One O1 macro step over a batch of walks, fully fused.
 
@@ -381,8 +395,17 @@ def fused_walk_sgns_step(
     VMEM residency (admitting Flickr-scale V~80k on one v5e chip); SGD
     writes then use stochastic rounding (hardware PRNG; interpret mode
     falls back to round-to-nearest) and all gradient math stays f32.
+
+    ``paired=True`` is the O2 (edge-proximity) mode: each row of ``walks``
+    carries L/2 edges interleaved as [u0, v0, u1, v1, ...] and the band
+    trains exactly the pairs (u->v) and (v->u) per edge (n_t = 1 per
+    slot) — the reference's first-order arc pass (SURVEY.md C7/§3.3)
+    through the same staging/pool/scatter machinery as O1.  L must be
+    even; pass ``reduced_window=False`` (windows are meaningless here).
     """
     B, L = walks.shape
+    if paired and L % 2:
+        raise ValueError("paired mode needs an even number of slots")
     Lp = 128
     if L > Lp:
         raise ValueError(f"walk_length {L} > {Lp} unsupported by the kernel")
@@ -444,7 +467,7 @@ def fused_walk_sgns_step(
     kernel = functools.partial(
         _walk_kernel, KP=KP, Lp=Lp, L=L, W=int(window), CB=column_block,
         USE_PRNG=reduced_window, MXU_BF16=mxu_bf16, R=R,
-        TABLES_BF16=tables_bf16, SR=sr, INTERPRET=interpret,
+        TABLES_BF16=tables_bf16, SR=sr, PAIRED=paired, INTERPRET=interpret,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -427,11 +427,11 @@ class ShardedComETrainer(ComETrainer):
             if u * cfg.dim * 4 > 48 * 1024 * 1024:
                 return False
         else:
+            # bf16-resident tables are supported under the dp mesh too:
+            # the kernel runs on each shard's bf16 tables (SR writes), the
+            # delta psums in f32, and the sum applies with one
+            # deterministic bf16 round — replicas stay bit-identical
             if not super()._use_walk_kernel():
-                return False
-            if self._walk_table_dtype() != jnp.float32:
-                # bf16-resident tables under the mesh (psum of bf16 deltas)
-                # are a round-2 item; fall back to the XLA path for now
                 return False
         nw = 1024 // 128
         pairs_per_group = nw * cfg.walk_length * (cfg.window + 1) / 2
@@ -597,6 +597,20 @@ class ShardedComETrainer(ComETrainer):
         use_banded = (not use_walk_kernel) and self._use_banded_sharded(
             B_local
         )
+        wdt = (
+            self._walk_table_dtype()
+            if use_walk_kernel and not rowsharded
+            else None
+        )
+        if wdt == jnp.bfloat16:
+            # bf16-resident tables for the epoch (SR writes in-kernel);
+            # f32 master restored at the epoch boundary (same scheme as
+            # the single-device trainer, plus the f32 delta psum below)
+            p = state.params
+            state = state.replace(params=p.replace(
+                node_emb=p.node_emb.astype(wdt),
+                ctx_emb=p.ctx_emb.astype(wdt),
+            ))
         if use_banded:
             from come_tpu.losses.sgns_banded import pack_tables
 
@@ -712,8 +726,19 @@ class ShardedComETrainer(ComETrainer):
                 )
                 # sum-of-deltas over the data axis: every replica applies
                 # every shard's updates, replicas stay bit-identical
-                ne = ne0 + jax.lax.psum(ne - ne0, "data")
-                ce = ce0 + jax.lax.psum(ce - ce0, "data")
+                if wdt == jnp.bfloat16:
+                    # accumulate the cross-shard sum in f32 and round ONCE
+                    # (deterministically) back to the bf16-resident tables
+                    f32 = jnp.float32
+                    dn = jax.lax.psum(ne.astype(f32) - ne0.astype(f32),
+                                      "data")
+                    dc = jax.lax.psum(ce.astype(f32) - ce0.astype(f32),
+                                      "data")
+                    ne = (ne0.astype(f32) + dn).astype(wdt)
+                    ce = (ce0.astype(f32) + dc).astype(wdt)
+                else:
+                    ne = ne0 + jax.lax.psum(ne - ne0, "data")
+                    ce = ce0 + jax.lax.psum(ce - ce0, "data")
                 loss = jax.lax.psum(loss, "data")
                 npairs = jax.lax.psum(npairs, "data")
             else:
@@ -737,6 +762,11 @@ class ShardedComETrainer(ComETrainer):
         (params, key, words), (losses, npairs, srv) = jax.lax.scan(
             body, (state.params, state.key, state.words_seen), walks_all
         )
+        if wdt == jnp.bfloat16:
+            params = params.replace(
+                node_emb=params.node_emb.astype(jnp.float32),
+                ctx_emb=params.ctx_emb.astype(jnp.float32),
+            )
         if use_banded:
             from come_tpu.losses.sgns_banded import unpack_tables
 
@@ -858,6 +888,7 @@ class ShardedComETrainer(ComETrainer):
                 n_init=cfg.gmm_n_init,
                 max_iter=cfg.gmm_max_iter,
                 reg_covar=cfg.reg_covar,
+                tol=cfg.gmm_tol,
             )
             pi = out["resp"] * mask_shard[:, None]  # pad rows: no community
             params = p.replace(

@@ -58,6 +58,9 @@ def random_walks(
         return nxt, v
 
     keys = jax.random.split(key, length - 1)
-    last, prefix = jax.lax.scan(step, start_nodes, keys)
+    # unroll: each scan step is ~3 tiny gathers + a threefry draw whose cost
+    # is per-step dispatch latency, not bandwidth (docs/PERF.md walker
+    # decomposition); unrolling amortizes the sequencing overhead
+    last, prefix = jax.lax.scan(step, start_nodes, keys, unroll=8)
     walks = jnp.concatenate([prefix, last[None]], axis=0)  # [L, B]
     return walks.T

@@ -175,7 +175,9 @@ class ComETrainer:
         import jax.numpy as jnp
 
         cfg = self.cfg
-        budget = 48 * 1024 * 1024
+        # _vmem_budget is overridable so tests can force the bf16 tier at
+        # CPU-testable table sizes
+        budget = getattr(self, "_vmem_budget", 48 * 1024 * 1024)
         elems = self.graph.num_nodes * cfg.dim
         if elems * 4 <= budget:
             return jnp.float32
@@ -578,6 +580,72 @@ class ComETrainer:
 
     # ------------------------------------------------------------- O2 (edges)
 
+    def _use_walk_kernel_o2(self) -> bool:
+        """Paired (edge) mode of the walk-banded kernel for O2: shared
+        negatives, f32 tables in VMEM (no PRNG in paired mode, so no
+        stochastic rounding — the bf16-table tier stays on the XLA path),
+        and a graph large enough for the 512-edges-per-group synchronous
+        update (collision envelope as in :meth:`_use_walk_kernel`)."""
+        cfg = self.cfg
+        if cfg.pallas == "never" or cfg.negative_mode != "shared":
+            return False
+        if cfg.pallas != "always" and jax.default_backend() != "tpu":
+            return False
+        budget = getattr(self, "_vmem_budget", 48 * 1024 * 1024)
+        if self.graph.num_nodes * cfg.dim * 4 > budget:
+            return False  # f32 VMEM tier only
+        from come_tpu.ops.pallas_walk_sgns import NWL
+
+        collisions = 2.0 * NWL / max(self.graph.num_nodes, 1)
+        return collisions <= 16.0
+
+    def _o2_epoch_kernel(self, state: TrainState, rows_all: jnp.ndarray):
+        """Kernel O2 epoch: rows_all int32 [S, B_r, 128], each row 64
+        edges interleaved [u0, v0, u1, v1, ...].  The kernel runs with
+        emb_in = emb_out = node_emb (separate working copies); the tied
+        update composes as new_in + new_out - old — the same
+        sum-of-contributions as the per-pair tied oracle, with the
+        kernel's group-sequential staleness inside a macro step
+        (hogwild-class; quality asserted end-to-end)."""
+        from come_tpu.ops.pallas_walk_sgns import NWL, fused_walk_sgns_step
+
+        cfg = self.cfg
+        S, B_r, Lp = rows_all.shape
+        arcs_per_step = B_r * Lp  # 2 trained pairs per edge = slot count
+
+        def body(carry, rows):
+            params, key, words = carry
+            key, kn, kp = jax.random.split(key, 3)
+            lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
+            interp = (cfg.pallas == "always"
+                      and jax.default_backend() != "tpu")
+            n_groups = -(-B_r // (NWL // Lp))
+            n_pools = -(-n_groups // cfg.walk_pool_refresh)
+            sneg = sample_alias(
+                self.accept, self.alias, kn,
+                (n_pools, cfg.shared_negatives),
+            )
+            ne0 = params.node_emb
+            new_in, new_out, loss, npairs = fused_walk_sgns_step(
+                ne0, ne0, rows, sneg, lr * cfg.alpha,
+                cfg.negative / cfg.shared_negatives, 0,
+                window=1, interpret=interp, reduced_window=False,
+                mxu_bf16=cfg.walk_kernel_bf16,
+                pool_refresh=cfg.walk_pool_refresh, paired=True,
+            )
+            ne = new_in + new_out - ne0
+            params = params.replace(node_emb=ne)
+            words = words + jnp.float32(arcs_per_step)
+            return (params, key, words), (loss, npairs)
+
+        (params, key, words), (losses, npairs) = jax.lax.scan(
+            body, (state.params, state.key, state.words_seen), rows_all
+        )
+        state = TrainState(params=params, key=key, words_seen=words)
+        npair = jnp.sum(npairs)
+        loss = jnp.sum(losses) / jnp.maximum(npair, 1.0)
+        return state, jnp.stack([loss, npair])
+
     def _o2_epoch(self, state: TrainState, src: jnp.ndarray, dst: jnp.ndarray):
         """src/dst int32 [S, B]: per-step arc batches; tied-table SGNS."""
         cfg = self.cfg
@@ -617,8 +685,29 @@ class ComETrainer:
 
     def o2_epoch(self) -> float:
         """One pass over all directed arcs (reference trains the edge list,
-        SURVEY.md C7/§3.3)."""
+        SURVEY.md C7/§3.3).  The fast path packs undirected edges into the
+        walk-banded kernel's paired mode (both arc directions per edge)."""
         cfg = self.cfg
+        if self._use_walk_kernel_o2():
+            if not hasattr(self, "_o2_kernel_jit"):
+                self._o2_kernel_jit = jax.jit(
+                    self._o2_epoch_kernel, donate_argnums=0
+                )
+                u, v = self.graph.edges_undirected()
+                self._und_u = jnp.asarray(u, jnp.int32)
+                self._und_v = jnp.asarray(v, jnp.int32)
+            e2 = self._und_u.shape[0]
+            EPR = 64  # edges per 128-slot row
+            edges_step = max(EPR, min(cfg.batch_edges // 2, e2))
+            B_r = -(-edges_step // EPR)
+            S = max(1, math.ceil(e2 / (B_r * EPR)))
+            self.host_key, k = jax.random.split(self.host_key)
+            perm = jax.random.permutation(k, e2)
+            uu = jnp.resize(self._und_u[perm], (S * B_r * EPR,))
+            vv = jnp.resize(self._und_v[perm], (S * B_r * EPR,))
+            rows = jnp.stack([uu, vv], axis=1).reshape(S, B_r, 2 * EPR)
+            self.state, stats = self._o2_kernel_jit(self.state, rows)
+            return self._finish_o2(stats)
         e = self.graph.num_arcs
         B = min(cfg.batch_edges, e)
         S = math.ceil(e / B)
@@ -671,6 +760,7 @@ class ComETrainer:
             n_init=self.cfg.gmm_n_init,
             max_iter=self.cfg.gmm_max_iter,
             reg_covar=self.cfg.reg_covar,
+            tol=self.cfg.gmm_tol,
         )
         self.state = self.state.replace(params=params)
         return float(ll) if self._sync_stats else None
