@@ -532,7 +532,14 @@ class ComETrainer:
     def _o1_epoch_host(self) -> float:
         """Host-corpus O1 epoch: C++ feeder generates walks on host threads
         while the device trains the previous batch (reference C3's
-        pool-plus-files pipeline, minus the disk)."""
+        pool-plus-files pipeline, minus the disk).
+
+        With the walk-banded kernel eligible, each host batch goes through
+        the fused kernel (``_o1_walks_step`` routes it), so walk
+        generation and SGD genuinely OVERLAP: the feeder's threads produce
+        batch k+1 while the chip trains batch k — the fresh-walks answer
+        to the device walker's serialized-gather cost (docs/PERF.md).
+        Losses stay on device until the epoch ends (one host sync)."""
         from come_tpu.native import HostWalkFeeder
 
         cfg = self.cfg
@@ -544,14 +551,15 @@ class ComETrainer:
                 self.graph, batch=B, length=cfg.walk_length, seed=cfg.seed,
                 restart_prob=cfg.restart_prob,
             )
-        total_loss, total_pairs = 0.0, 0.0
+        stats = []
         for _ in range(n_batches):
             walks = jnp.asarray(next(self._host_feeder))
             self.state, loss, npairs = self._o1_walks_step_jit(
                 self.state, walks
             )
-            total_loss += float(loss)
-            total_pairs += float(npairs)
+            stats.append((loss, npairs))  # device values: no per-batch sync
+        total_loss = float(sum(s[0] for s in stats))
+        total_pairs = float(sum(s[1] for s in stats))
         self.last_o1_pairs = total_pairs
         return total_loss / max(total_pairs, 1.0)
 
@@ -562,17 +570,48 @@ class ComETrainer:
         lr = _decayed_lr(
             state.words_seen, self.total_words, cfg.lr, cfg.min_lr
         )
-        c, x, m = skipgram_pairs(walks, cfg.window, kp, self.keep)
-        negs = None
-        if cfg.negative_mode != "shared":
-            negs = sample_alias(
-                self.accept, self.alias, kn, c.shape + (cfg.negative,)
+        if self._use_walk_kernel():
+            from come_tpu.ops.pallas_walk_sgns import (
+                NWL,
+                fused_walk_sgns_step,
             )
-        ne, ce, loss, npairs = self._sgns_microbatched(
-            state.params.node_emb, state.params.ctx_emb, c, x, negs, m, lr,
-            kn, tie_tables=False, compact=True,
-        )
-        params = state.params.replace(node_emb=ne, ctx_emb=ce)
+
+            interp = (cfg.pallas == "always"
+                      and jax.default_backend() != "tpu")
+            n_groups = -(-walks.shape[0] // (NWL // 128))
+            n_pools = -(-n_groups // cfg.walk_pool_refresh)
+            sneg = sample_alias(
+                self.accept, self.alias, kn,
+                (n_pools, cfg.shared_negatives),
+            )
+            seed = jax.random.randint(kp, (), 0, 2**31 - 1, dtype=jnp.int32)
+            wdt = self._walk_table_dtype()
+            ne0 = state.params.node_emb.astype(wdt)
+            ce0 = state.params.ctx_emb.astype(wdt)
+            ne, ce, loss, npairs = fused_walk_sgns_step(
+                ne0, ce0, walks, sneg, lr,
+                cfg.negative / cfg.shared_negatives, seed,
+                window=cfg.window, interpret=interp,
+                reduced_window=not interp,
+                mxu_bf16=cfg.walk_kernel_bf16,
+                pool_refresh=cfg.walk_pool_refresh,
+            )
+            params = state.params.replace(
+                node_emb=ne.astype(jnp.float32),
+                ctx_emb=ce.astype(jnp.float32),
+            )
+        else:
+            c, x, m = skipgram_pairs(walks, cfg.window, kp, self.keep)
+            negs = None
+            if cfg.negative_mode != "shared":
+                negs = sample_alias(
+                    self.accept, self.alias, kn, c.shape + (cfg.negative,)
+                )
+            ne, ce, loss, npairs = self._sgns_microbatched(
+                state.params.node_emb, state.params.ctx_emb, c, x, negs, m,
+                lr, kn, tie_tables=False, compact=True,
+            )
+            params = state.params.replace(node_emb=ne, ctx_emb=ce)
         words = state.words_seen + jnp.float32(
             walks.shape[0] * cfg.walk_length
         )

@@ -39,3 +39,29 @@ def test_host_corpus_full_loop():
     assert np.isfinite(hist[-1]["o1_loss"])
     assert hist[-1]["nmi"] > 0.3
     t._host_feeder.close()
+
+
+def test_host_corpus_routes_through_walk_kernel():
+    """corpus='host' + walk-kernel eligibility: host batches train via the
+    fused kernel (walker/compute overlap — the fresh-walks fast path)."""
+    import numpy as np
+
+    from come_tpu.config import ComEConfig
+
+    from come_tpu.evaluation import nmi_score
+    from come_tpu.graphs import sbm_graph
+
+    g, labels = sbm_graph(512, 4, p_in=0.2, p_out=0.01, seed=3)
+    cfg = ComEConfig(
+        dim=128, num_communities=4, walk_length=16, walks_per_node=2,
+        window=4, negative_mode="shared", shared_negatives=128,
+        pallas="always", corpus="host", batch_walks=64, batch_pairs=4096,
+        outer_iters=0, pretrain_epochs=8, reg_covar=1e-2, gmm_max_iter=20,
+    )
+    t = ComETrainer(g, cfg)
+    assert t._use_walk_kernel()
+    first = t.o1_epoch()
+    losses = [t.o1_epoch() for _ in range(7)]
+    assert np.isfinite(first) and losses[-1] < first
+    t.fit_gmm()
+    assert nmi_score(labels, t.communities()) > 0.5
