@@ -41,26 +41,39 @@ def random_walks(
     was chosen for (static shapes, no per-node Python).
     """
     start_nodes = start_nodes.astype(jnp.int32)
+    B = start_nodes.shape[0]
+    # ALL the epoch's randomness in one vectorized threefry call — the
+    # per-step split+uniform used to dominate the walker (docs/PERF.md
+    # walker decomposition: deg-gather+RNG was ~2/3 of the step cost)
+    ubits = jax.random.bits(key, (length - 1, B), jnp.uint32)
+    if restart_prob > 0.0:
+        rbits = jax.random.bits(
+            jax.random.fold_in(key, 1), (length - 1, B), jnp.uint32
+        )
+        rthresh = jnp.uint32(min(restart_prob, 1.0) * 4294967295.0)
+        xs_all = (ubits, rbits)
+    else:
+        xs_all = (ubits, ubits)  # unused second stream
 
-    def step(carry, key):
+    def step(carry, xs):
         v = carry
-        ku, kr = jax.random.split(key)
+        bits, rb = xs
         deg = csr.degrees[v]
-        u = jax.random.uniform(ku, v.shape, dtype=jnp.float32)
-        # floor(u * deg) in [0, deg); safe for deg < 2^24 in f32
+        # top 24 bits -> u in [0, 1); floor(u * deg) is uniform for
+        # deg < 2^24 (f32-exact)
+        u = (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+            1.0 / (1 << 24)
+        )
         r = jnp.minimum((u * deg.astype(jnp.float32)).astype(jnp.int32),
                         jnp.maximum(deg - 1, 0))
         nxt = csr.indices[csr.indptr[v] + r]
         nxt = jnp.where(deg > 0, nxt, v)  # isolated nodes stay put
         if restart_prob > 0.0:
-            restart = jax.random.uniform(kr, v.shape) < restart_prob
-            nxt = jnp.where(restart, start_nodes, nxt)
+            nxt = jnp.where(rb < rthresh, start_nodes, nxt)
         return nxt, v
 
-    keys = jax.random.split(key, length - 1)
-    # unroll: each scan step is ~3 tiny gathers + a threefry draw whose cost
-    # is per-step dispatch latency, not bandwidth (docs/PERF.md walker
-    # decomposition); unrolling amortizes the sequencing overhead
-    last, prefix = jax.lax.scan(step, start_nodes, keys, unroll=8)
+    # unroll: each scan step is ~3 tiny gathers whose cost is per-step
+    # sequencing latency, not bandwidth; unrolling amortizes it
+    last, prefix = jax.lax.scan(step, start_nodes, xs_all, unroll=8)
     walks = jnp.concatenate([prefix, last[None]], axis=0)  # [L, B]
     return walks.T
