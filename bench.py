@@ -126,6 +126,18 @@ def main() -> None:
         for _ in range(3)
     )
 
+    # ---- fresh walks, generated IN-kernel (no walker pass) ----
+    tg = ComETrainer(
+        ds.graph, base.replace(walk_regen_epochs=1, walk_gen="kernel")
+    )
+    o1_gen = None
+    if tg._use_walk_kernel_gen():
+        tg.o1_epoch()
+        o1_gen = statistics.median(
+            _chained_rate(tg, tg.o1_epoch, tg.o1_sync, 6, "last_o1_pairs")
+            for _ in range(3)
+        )
+
     # ---- O2 (edge pass) ----
     tf.o2_epoch()  # warmup/compile
     o2 = _chained_rate(tf, tf.o2_epoch, tf.o2_sync, 3, "last_o2_pairs")
@@ -167,6 +179,9 @@ def main() -> None:
                 "vs_baseline": round(o1_cached / baseline, 4),
                 "value_max": round(max(cached_samples), 1),
                 "o1_fresh_walks": round(o1_fresh, 1),
+                "o1_fresh_kernel_gen": (
+                    round(o1_gen, 1) if o1_gen is not None else None
+                ),
                 "o2": round(o2, 1),
                 "full_loop": round(full_loop, 1),
                 "phase_ms": phases,

@@ -77,6 +77,14 @@ class ComEConfig:
     # measured ~1.5x faster at SBM-like duplication; turn on for
     # heavy-hub power-law batches.
     banded_sorted_scatter: bool = False
+    # fresh-walk generation strategy when the fused walk kernel runs:
+    # "scan" = the lax.scan device walker feeds the kernel; "kernel" =
+    # walks are generated INSIDE the fused kernel from VMEM-resident CSR
+    # (no separate walker pass at all; randomness is one host threefry
+    # bit-matrix per macro step).  "kernel" needs the CSR to fit the
+    # kernel's VMEM side budget (~12MB: (V+1+E)*4B) and applies to the
+    # single-device fused path.
+    walk_gen: str = "scan"
     # walk-corpus regeneration cadence for the device corpus: 1 = fresh
     # walks every O1 epoch; N = regenerate every N epochs; 0 = generate
     # ONCE and reuse — the reference's own behavior (deepwalk lineage:

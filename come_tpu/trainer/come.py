@@ -337,6 +337,77 @@ class ComETrainer:
         )
         return node_emb, ctx_emb, jnp.sum(losses), jnp.sum(npairs)
 
+    def _use_walk_kernel_gen(self) -> bool:
+        """In-kernel walk generation (walk_gen='kernel'): fused kernel
+        eligible AND the padded CSR fits the kernel's VMEM side budget."""
+        if self.cfg.walk_gen != "kernel":
+            return False
+        if not self._use_walk_kernel():
+            return False
+        csr_bytes = (self.graph.num_nodes + 1 + self.graph.num_arcs) * 4
+        return csr_bytes <= 12 * 1024 * 1024
+
+    def _o1_epoch_gen(self, state: TrainState, start_perm: jnp.ndarray):
+        """O1 epoch with IN-KERNEL walk generation: no walker scan at all —
+        each macro step hands the kernel its start nodes, a threefry bit
+        matrix, and the VMEM-resident CSR (ops/pallas_walk_sgns.py gen
+        mode; VERDICT r2 item 5)."""
+        from come_tpu.ops.pallas_walk_sgns import (
+            NWL,
+            fused_walk_sgns_gen_step,
+        )
+
+        cfg = self.cfg
+        S, B = start_perm.shape
+        NW = NWL // 128
+        G = -(-B // NW)
+        n_pools = -(-G // cfg.walk_pool_refresh)
+        negw = cfg.negative / cfg.shared_negatives
+        interp = cfg.pallas == "always" and jax.default_backend() != "tpu"
+        wdt = self._walk_table_dtype()
+        if wdt == jnp.bfloat16:
+            p = state.params
+            state = state.replace(params=p.replace(
+                node_emb=p.node_emb.astype(wdt),
+                ctx_emb=p.ctx_emb.astype(wdt),
+            ))
+
+        def body(carry, starts):
+            params, key, words = carry
+            key, kb, kp, kn = jax.random.split(key, 4)
+            lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
+            bits = jax.random.bits(kb, (G, NWL), jnp.uint32)
+            sneg = sample_alias(
+                self.accept, self.alias, kn,
+                (n_pools, cfg.shared_negatives),
+            )
+            seed = jax.random.randint(kp, (), 0, 2**31 - 1, dtype=jnp.int32)
+            ne, ce, loss, npairs = fused_walk_sgns_gen_step(
+                params.node_emb, params.ctx_emb, starts, bits,
+                self._csr_indptr2d, self._csr_indices2d, sneg,
+                lr, negw, seed, walk_length=cfg.walk_length,
+                window=cfg.window, interpret=interp,
+                reduced_window=not interp,
+                mxu_bf16=cfg.walk_kernel_bf16,
+                pool_refresh=cfg.walk_pool_refresh,
+            )
+            params = params.replace(node_emb=ne, ctx_emb=ce)
+            words = words + jnp.float32(B * cfg.walk_length)
+            return (params, key, words), (loss, npairs)
+
+        (params, key, words), (losses, npairs) = jax.lax.scan(
+            body, (state.params, state.key, state.words_seen), start_perm
+        )
+        if wdt == jnp.bfloat16:
+            params = params.replace(
+                node_emb=params.node_emb.astype(jnp.float32),
+                ctx_emb=params.ctx_emb.astype(jnp.float32),
+            )
+        state = TrainState(params=params, key=key, words_seen=words)
+        npair = jnp.sum(npairs)
+        loss = jnp.sum(losses) / jnp.maximum(npair, 1.0)
+        return state, jnp.stack([loss, npair])
+
     def _gen_epoch_walks(self, key, start_perm: jnp.ndarray) -> jnp.ndarray:
         """Generate the WHOLE epoch's walks in one batched call: the walker
         is a length-L scan of small gathers whose cost is per-step latency,
@@ -490,6 +561,19 @@ class ComETrainer:
             k, jnp.tile(jnp.arange(v, dtype=jnp.int32), cfg.walks_per_node)
         )
         perm = jnp.resize(perm, (S, B))  # wraps the tail batch
+        if self._use_walk_kernel_gen() and cfg.walk_regen_epochs == 1:
+            if not hasattr(self, "_csr_indptr2d"):
+                from come_tpu.ops.pallas_walk_sgns import pack_csr_2d
+
+                ip2, ix2 = pack_csr_2d(self.graph.indptr, self.graph.indices)
+                self._csr_indptr2d = jnp.asarray(ip2)
+                self._csr_indices2d = jnp.asarray(ix2)
+                self._o1_gen_jit = jax.jit(
+                    self._o1_epoch_gen, donate_argnums=0
+                )
+            self._o1_epochs_done += 1
+            self.state, stats = self._o1_gen_jit(self.state, perm)
+            return self._finish_o1(stats)
         if cfg.walk_regen_epochs != 1:
             # cached corpus (reference semantics: deepwalk writes walk
             # files once and every epoch re-streams them, SURVEY.md C3)

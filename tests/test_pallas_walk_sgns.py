@@ -297,3 +297,76 @@ def test_walk_kernel_bf16_tables_rtn(rng):
         rtol=0.06, atol=1.6e-2,
     )
     np.testing.assert_allclose(float(b16[2]), float(f32[2]), rtol=0.02)
+
+
+# ---- in-kernel walk generation (gen mode) ----
+
+
+def _np_walks_from_bits(indptr, indices, starts, bits, L, Lp=128):
+    """Reproduce the kernel's walk generation in numpy (same f32 draw
+    arithmetic, same bit usage) — the oracle for gen-mode parity."""
+    G = bits.shape[0]
+    NW = bits.shape[1] // Lp
+    walks = np.zeros((G * NW, L), np.int32)
+    inv24 = np.float32(1.0 / (1 << 24))
+    for g in range(G):
+        for j in range(NW):
+            v = int(starts[g * NW + j])
+            walks[g * NW + j, 0] = v
+            for t in range(1, L):
+                b = int(bits[g, j * Lp + t]) & 0xFFFFFFFF
+                lo, hi = int(indptr[v]), int(indptr[v + 1])
+                deg = hi - lo
+                if deg > 0:
+                    u = np.float32((b >> 8) & 0xFFFFFF) * inv24
+                    r = min(int(np.float32(u * np.float32(deg))), deg - 1)
+                    v = int(indices[lo + r])
+                walks[g * NW + j, t] = v
+    return walks
+
+
+def test_gen_mode_matches_pregenerated_walks():
+    """fused_walk_sgns_gen_step (in-kernel walks from VMEM CSR, input bit
+    matrix) must produce BIT-identical tables/stats to the normal kernel
+    run on the same walks reproduced in numpy from the same bits."""
+    from come_tpu.graphs import sbm_graph
+    from come_tpu.ops.pallas_walk_sgns import (
+        NWL,
+        fused_walk_sgns_gen_step,
+        fused_walk_sgns_step,
+        pack_csr_2d,
+    )
+
+    g, _ = sbm_graph(300, 3, p_in=0.2, p_out=0.02, seed=1)
+    V, d, L, W, KP = 300, 128, 20, 4, 32
+    rng = np.random.default_rng(0)
+    ei = jnp.asarray((rng.normal(size=(V, d)) * 0.3).astype(np.float32))
+    eo = jnp.asarray((rng.normal(size=(V, d)) * 0.3).astype(np.float32))
+    NW = NWL // 128
+    G = 2
+    starts = rng.integers(0, V, G * NW).astype(np.int32)
+    bits = rng.integers(0, 2**32, (G, NWL), dtype=np.uint32)
+    pool = rng.integers(0, V, (G, KP)).astype(np.int32)
+    indptr2d, indices2d = pack_csr_2d(g.indptr, g.indices)
+
+    gi, go, gloss, gnp_ = fused_walk_sgns_gen_step(
+        ei, eo, jnp.asarray(starts), jnp.asarray(bits),
+        jnp.asarray(indptr2d), jnp.asarray(indices2d), jnp.asarray(pool),
+        0.025, 5 / KP, 0, walk_length=L, window=W, interpret=True,
+        reduced_window=False,
+    )
+
+    walks = _np_walks_from_bits(g.indptr, g.indices, starts, bits, L)
+    ni, no, nloss, nnp_ = fused_walk_sgns_step(
+        ei, eo, jnp.asarray(walks), jnp.asarray(pool), 0.025, 5 / KP, 0,
+        window=W, interpret=True, reduced_window=False,
+    )
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(ni))
+    np.testing.assert_array_equal(np.asarray(go), np.asarray(no))
+    assert float(gloss) == float(nloss)
+    assert float(gnp_) == float(nnp_)
+    # the walks are real graph walks (every hop is an edge)
+    adj = {v: set(g.neighbors(v).tolist()) for v in range(V)}
+    for b in range(walks.shape[0]):
+        for t in range(L - 1):
+            assert walks[b, t + 1] in adj[walks[b, t]]

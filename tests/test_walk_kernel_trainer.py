@@ -280,3 +280,18 @@ def test_walk_kernel_dp_bf16_tables():
         np.testing.assert_array_equal(shards[0], s)
     t.fit_gmm()
     assert nmi_score(labels, t.communities()) > 0.5
+
+
+def test_walk_gen_kernel_trains():
+    """walk_gen='kernel': the trainer's O1 epoch runs with in-kernel walk
+    generation (no walker scan), trains, and reaches the same quality as
+    the scan-walker kernel path."""
+    g, labels = sbm_graph(512, 4, p_in=0.2, p_out=0.01, seed=3)
+    t = ComETrainer(g, _cfg(walk_gen="kernel"))
+    assert t._use_walk_kernel_gen()
+    first = t.o1_epoch()
+    assert hasattr(t, "_csr_indptr2d")  # gen path actually taken
+    losses = [t.o1_epoch() for _ in range(7)]
+    assert np.isfinite(first) and losses[-1] < first
+    t.fit_gmm()
+    assert nmi_score(labels, t.communities()) > 0.5
