@@ -169,7 +169,10 @@ PRESETS: dict[str, ComEConfig] = {
         outer_iters=3,
         lr=0.05,
         beta=0.05,
-        gmm_n_init=2,
+        # 4 restarts: one bad EM local optimum in an outer iteration drags
+        # O3 the wrong way and can collapse NMI for that iteration on a
+        # 34-node graph (seed-dependent); restarts pick the better fit
+        gmm_n_init=4,
         # 34 points in 16-D: without strong covariance regularization the
         # EM fit is near-singular and inv_cov blows up the O3 step
         reg_covar=0.1,

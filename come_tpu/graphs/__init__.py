@@ -4,7 +4,7 @@ from come_tpu.graphs.loaders import (
     load_edgelist,
     load_matfile,
 )
-from come_tpu.graphs.generators import sbm_graph, powerlaw_graph
+from come_tpu.graphs.generators import dc_sbm_graph, sbm_graph, powerlaw_graph
 from come_tpu.graphs.datasets import get_dataset, DATASETS
 
 __all__ = [
@@ -13,6 +13,7 @@ __all__ = [
     "load_adjacencylist",
     "load_edgelist",
     "load_matfile",
+    "dc_sbm_graph",
     "sbm_graph",
     "powerlaw_graph",
     "get_dataset",

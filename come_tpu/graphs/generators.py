@@ -77,6 +77,77 @@ def sbm_graph(
     return g, labels
 
 
+def dc_sbm_graph(
+    num_nodes: int,
+    num_communities: int,
+    avg_degree: float = 20.0,
+    exponent: float = 2.5,
+    assortativity: float = 20.0,
+    seed: int = 0,
+) -> tuple[CSRGraph, np.ndarray]:
+    """Degree-corrected SBM: community structure + power-law degrees.
+
+    The plain SBM's degrees are binomial (near-uniform); the reference's
+    real datasets (BlogCatalog/Flickr, SURVEY.md C13) are heavy-tailed,
+    which is exactly what stresses negative-sampling skew, scatter-add
+    contention, and the a2a bucket-capacity envelopes.  Chung-Lu within the
+    block structure: node i gets weight w_i ~ rank^{-1/(exponent-1)}
+    (ranks shuffled within each block), and the expected edge count between
+    blocks a,b is proportional to W_a·W_b, boosted by ``assortativity``
+    when a == b.  Endpoints are drawn ∝ w within their block, so hub nodes
+    emerge with degrees orders of magnitude above the mean.
+
+    Returns (graph, labels) like ``sbm_graph`` so NMI evaluation works.
+    """
+    rng = np.random.default_rng(seed)
+    labels = np.arange(num_nodes, dtype=np.int32) % num_communities
+    rng.shuffle(labels)
+    members = [np.where(labels == k)[0] for k in range(num_communities)]
+
+    # per-node Chung-Lu weights: power-law ranks shuffled within block
+    w = np.empty(num_nodes, np.float64)
+    for mem in members:
+        ranks = rng.permutation(len(mem)) + 1.0
+        w[mem] = ranks ** (-1.0 / (exponent - 1.0))
+    wsum = np.array([w[mem].sum() for mem in members])
+
+    # expected edges between block pairs; assortativity boosts diagonal
+    mix = np.outer(wsum, wsum)
+    mix[np.diag_indices_from(mix)] *= assortativity
+    target_edges = avg_degree * num_nodes / 2
+    mix *= target_edges / np.triu(mix).sum()
+
+    src_all, dst_all = [], []
+    for a in range(num_communities):
+        pa = w[members[a]] / w[members[a]].sum()
+        for b in range(a, num_communities):
+            m = rng.poisson(mix[a, b])
+            if m == 0:
+                continue
+            pb = w[members[b]] / w[members[b]].sum()
+            src_all.append(rng.choice(members[a], size=m, p=pa))
+            dst_all.append(rng.choice(members[b], size=m, p=pb))
+    src = np.concatenate(src_all) if src_all else np.array([], np.int64)
+    dst = np.concatenate(dst_all) if dst_all else np.array([], np.int64)
+    # low-weight nodes can end up isolated at small sizes; attach each to a
+    # random same-community peer so every node is walkable (real datasets
+    # have no degree-0 nodes)
+    ns = src != dst  # self-loops are dropped by from_arcs — don't count
+    touched = np.zeros(num_nodes, bool)
+    touched[src[ns]] = True
+    touched[dst[ns]] = True
+    lone = np.where(~touched)[0]
+    if len(lone):
+        mates = np.array([
+            rng.choice(members[labels[i]][members[labels[i]] != i])
+            for i in lone
+        ])
+        src = np.concatenate([src, lone])
+        dst = np.concatenate([dst, mates])
+    g = CSRGraph.from_arcs(src, dst, num_nodes=num_nodes, symmetrize=True)
+    return g, labels
+
+
 def powerlaw_graph(
     num_nodes: int,
     avg_degree: float = 20.0,

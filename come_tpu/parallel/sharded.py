@@ -105,6 +105,7 @@ class ShardedComETrainer(ComETrainer):
             if config.row_exchange in ("auto", "a2a") and m > 1
             else "psum"
         )
+        self._orig_graph = graph  # pre-permutation (for clone diagnostics)
         if self.row_exchange == "a2a":
             from come_tpu.parallel.exchange import interleave_permutation
 
@@ -963,6 +964,42 @@ class ShardedComETrainer(ComETrainer):
                 else "xla-psum"
             )
         return "xla-per-pair"
+
+    def exchange_overlap_ab(self, epochs: int = 1) -> dict:
+        """Exchange-vs-compute observability scalar (SURVEY §5 metrics row).
+
+        Times one warmed O1 epoch with the double-buffered row exchange ON
+        vs OFF on fresh clone trainers (this trainer's state is untouched)
+        and returns ``{"overlap_on_ms", "overlap_off_ms",
+        "exchange_hidden_ms"}`` — the last being how much collective time
+        the software pipelining hides behind the kernel.  Only meaningful
+        on a model>1 mesh (the row-sharded tiers); raises otherwise.
+        """
+        import time
+
+        if self.layout.model_size <= 1:
+            raise ValueError("no row exchange at model=1 (psum-only mesh)")
+
+        def timed(cfg):
+            tr = type(self)(self._orig_graph, cfg, self.layout.mesh)
+            tr.o1_epoch()  # compile + warm
+            tr.stats_sync(False)
+            try:
+                t0 = time.perf_counter()
+                for _ in range(epochs):
+                    tr.o1_epoch()
+                tr.o1_sync()
+                return (time.perf_counter() - t0) / epochs * 1e3
+            finally:
+                tr.stats_sync(True)
+
+        on = timed(self.cfg.replace(overlap_exchange=True))
+        off = timed(self.cfg.replace(overlap_exchange=False))
+        return {
+            "overlap_on_ms": round(on, 2),
+            "overlap_off_ms": round(off, 2),
+            "exchange_hidden_ms": round(off - on, 2),
+        }
 
     def _log_o1_tier(self, b_local: int) -> None:
         tier = self.o1_tier(b_local)

@@ -344,6 +344,9 @@ class ComETrainer:
             return False
         if not self._use_walk_kernel():
             return False
+        if self.cfg.restart_prob != 0.0:
+            return False  # gen kernel draws uniform neighbors only; the
+            # scan walker handles restart (reference alpha) semantics
         csr_bytes = (self.graph.num_nodes + 1 + self.graph.num_arcs) * 4
         return csr_bytes <= 12 * 1024 * 1024
 
@@ -903,19 +906,31 @@ class ComETrainer:
         iteration (the reference pickled its Model per iteration, SURVEY.md
         C10).  ``scalar_log``: optional metrics.ScalarLog sink.
         """
+        import time as _time
+
         cfg = self.cfg
         say = log or (lambda s: None)
         for e in range(cfg.pretrain_epochs):
             loss = self.o1_epoch()
             say(f"pretrain O1 epoch {e}: loss/pair {loss:.4f}")
+
+        def timed(rec, name, fn):
+            # per-phase wall ms (SURVEY §5 observability: per-step scalars
+            # incl. where the iteration time goes); valid because each
+            # phase returns a host float when stats_sync is on
+            t0 = _time.perf_counter()
+            out = fn()
+            rec[f"{name}_ms"] = round((_time.perf_counter() - t0) * 1e3, 2)
+            return out
+
         for it in range(cfg.outer_iters):
             rec: dict = {"iter": it}
-            rec["gmm_ll"] = self.fit_gmm()
+            rec["gmm_ll"] = timed(rec, "gmm", self.fit_gmm)
             for _ in range(cfg.o1_epochs_per_iter):
-                rec["o1_loss"] = self.o1_epoch()
+                rec["o1_loss"] = timed(rec, "o1", self.o1_epoch)
             for _ in range(cfg.o2_epochs_per_iter):
-                rec["o2_loss"] = self.o2_epoch()
-            rec["o3_loss"] = self.o3_pass()
+                rec["o2_loss"] = timed(rec, "o2", self.o2_epoch)
+            rec["o3_loss"] = timed(rec, "o3", self.o3_pass)
             if labels is not None:
                 from come_tpu.evaluation import nmi_score
 

@@ -189,3 +189,33 @@ def test_sharded_checkpoint_roundtrip(tmp_path, karate):
     )
     t2.host_key = t.host_key
     assert t.o1_epoch() == t2.o1_epoch()  # bit-exact continuation
+
+
+def test_exchange_overlap_ab_scalar(karate):
+    """exchange_overlap_ab returns the exchange-vs-compute scalars on a
+    model>1 mesh (SURVEY §5 collective-time observability) and leaves the
+    calling trainer's state untouched."""
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    cfg = get_config("karate").replace(outer_iters=0, pretrain_epochs=0)
+    t = ShardedComETrainer(karate.graph, cfg, mesh)
+    before = np.asarray(t.state.params.node_emb)
+    ab = t.exchange_overlap_ab()
+    assert set(ab) == {"overlap_on_ms", "overlap_off_ms",
+                       "exchange_hidden_ms"}
+    assert ab["overlap_on_ms"] > 0 and ab["overlap_off_ms"] > 0
+    np.testing.assert_array_equal(before, np.asarray(t.state.params.node_emb))
+    mesh1 = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    t1 = ShardedComETrainer(karate.graph, cfg, mesh1)
+    with pytest.raises(ValueError):
+        t1.exchange_overlap_ab()
+
+
+def test_train_logs_phase_ms(karate):
+    """train() records per-phase wall-ms scalars (SURVEY §5 metrics row)."""
+    cfg = get_config("karate").replace(outer_iters=1, pretrain_epochs=0)
+    from come_tpu.trainer import ComETrainer
+
+    hist = ComETrainer(karate.graph, cfg).train()
+    rec = hist[-1]
+    for k in ("gmm_ms", "o1_ms", "o2_ms", "o3_ms"):
+        assert rec[k] > 0
