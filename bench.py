@@ -17,9 +17,16 @@ times only the SGD hot loop over the pre-generated corpus, SURVEY.md C3,
 items 2/3/6):
 
   o1_fresh_walks  O1 with walks regenerated every epoch
+  o1_fresh_kernel_gen  O1 with walks generated IN-kernel (no walker scan)
   o2              the edge-proximity pass (paired walk-kernel fast path)
-  full_loop       one outer iteration: GMM fit + O1 + O2 + O3 + eval-free
-  phase_ms        per-phase breakdown of the full loop (gmm/o1/o2/o3)
+  full_loop       one outer iteration (GMM fit + O1 + O2 + O3) on the
+                  cached corpus — reference accounting: deepwalk writes
+                  its walk files ONCE per run and every outer iteration
+                  re-streams them (SURVEY.md C3/§3.1)
+  full_loop_fresh one outer iteration with walks regenerated in the O1
+                  phase (stricter-than-reference accounting)
+  phase_ms        per-phase breakdown of the cached full loop
+                  (gmm/o1/o2/o3); phase_ms_fresh for the fresh loop's O1
 
 Headline statistic is the MEDIAN of 3 chained-run samples (max kept as
 ``value_max``).
@@ -142,32 +149,39 @@ def main() -> None:
     tf.o2_epoch()  # warmup/compile
     o2 = _chained_rate(tf, tf.o2_epoch, tf.o2_sync, 3, "last_o2_pairs")
 
-    # ---- full loop: one outer iteration, per-phase attribution ----
-    def flush():
-        # force trailing dispatches; block_until_ready is unreliable over
-        # the tunnel, a scalar read is one D2H round trip
-        float(tf.state.params.node_emb[0, 0])
+    # ---- full loop: one outer iteration, per-phase attribution.
+    # Primary number uses the CACHED corpus (reference accounting: walk
+    # files are written once per run, every outer iteration re-streams
+    # them); full_loop_fresh regenerates walks inside the O1 phase. ----
+    def phase_set(tr):
+        def flush():
+            # force trailing dispatches; block_until_ready is unreliable
+            # over the tunnel, a scalar read is one D2H round trip
+            float(tr.state.params.node_emb[0, 0])
 
-    def phase_ms(fn, sync, n=2):
-        fn()  # warm/compile
-        sync()
-        t0 = time.perf_counter()
-        for _ in range(n):
-            fn()
-        sync()
-        return (time.perf_counter() - t0) / n * 1e3
+        def phase_ms(fn, sync, n=2):
+            fn()  # warm/compile
+            sync()
+            t0 = time.perf_counter()
+            for _ in range(n):
+                fn()
+            sync()
+            return (time.perf_counter() - t0) / n * 1e3
 
-    tf.stats_sync(False)
-    phases = {
-        "gmm": phase_ms(tf.fit_gmm, flush),
-        "o1": phase_ms(tf.o1_epoch, lambda: (tf.o1_sync(), flush())),
-        "o2": phase_ms(tf.o2_epoch, lambda: (tf.o2_sync(), flush())),
-        "o3": phase_ms(tf.o3_pass, flush),
-    }
-    tf.stats_sync(True)
-    dt = sum(phases.values()) / 1e3
-    full_loop = (tf.last_o1_pairs + tf.last_o2_pairs) / dt
-    phases = {k: round(v, 1) for k, v in phases.items()}
+        tr.stats_sync(False)
+        phases = {
+            "gmm": phase_ms(tr.fit_gmm, flush),
+            "o1": phase_ms(tr.o1_epoch, lambda: (tr.o1_sync(), flush())),
+            "o2": phase_ms(tr.o2_epoch, lambda: (tr.o2_sync(), flush())),
+            "o3": phase_ms(tr.o3_pass, flush),
+        }
+        tr.stats_sync(True)
+        dt = sum(phases.values()) / 1e3
+        rate = (tr.last_o1_pairs + tr.last_o2_pairs) / dt
+        return rate, {k: round(v, 1) for k, v in phases.items()}
+
+    full_loop, phases = phase_set(t)
+    full_loop_fresh, phases_fresh = phase_set(tf)
 
     baseline = 6.25e7  # 1e9 / 16 chips (v5e-16), BASELINE.json:5
     print(
@@ -184,7 +198,9 @@ def main() -> None:
                 ),
                 "o2": round(o2, 1),
                 "full_loop": round(full_loop, 1),
+                "full_loop_fresh": round(full_loop_fresh, 1),
                 "phase_ms": phases,
+                "phase_ms_fresh": phases_fresh,
                 "pairs_per_epoch": round(t.last_o1_pairs, 1),
             }
         )

@@ -118,13 +118,13 @@ def _walk_kernel(
     INTERPRET: bool,
 ):
     if GEN_WALKS:
-        bits_ref, indptr_hbm, indices_hbm = rest[:3]
-        rest = rest[3:]
+        bits_ref, indptr_smem, deg_smem, indices_hbm = rest[:4]
+        rest = rest[4:]
     (emb_in_out, emb_out_out, stats_ref,
      phi_ref, ctx_ref, dphi_ref, dctx_ref, cneg_ref, dneg_ref, rnd_ref,
      acc_ref, dma_sem) = rest[:12]
     if GEN_WALKS:
-        wgen_ref, indptr_ref, indices_ref = rest[12:15]
+        wgen_ref, indices_ref = rest[12:14]
 
     mxu_t = jnp.bfloat16 if (MXU_BF16 or TABLES_BF16) else jnp.float32
     d = phi_ref.shape[1]
@@ -150,22 +150,21 @@ def _walk_kernel(
         cp.start()
         cp.wait()
         if GEN_WALKS:
-            cp = pltpu.make_async_copy(indptr_hbm, indptr_ref, dma_sem)
-            cp.start()
-            cp.wait()
             cp = pltpu.make_async_copy(indices_hbm, indices_ref, dma_sem)
             cp.start()
             cp.wait()
 
     if GEN_WALKS:
-        # ---- in-kernel walk generation from the VMEM-resident CSR ----
-        # Every extraction reads a dynamic ROW of a [*, 128] i32 array
-        # (the same access pattern as the embedding-row gathers) and
-        # picks the lane with a vector one-hot reduce — no scalar-
-        # predicated vector selects (the known Mosaic hazard).  The
-        # random bits arrive as an INPUT (host threefry), so compiled
-        # and interpreted runs are bit-comparable and the walk stream is
-        # reproducible in numpy (tests/oracle).
+        # ---- in-kernel walk generation ----
+        # CSR offsets and degrees live in SMEM (direct scalar loads);
+        # only the neighbor lists need VMEM ([*, 128] i32 rows, lane
+        # picked by a vector one-hot reduce — no scalar-predicated vector
+        # selects, the known Mosaic hazard).  The NW walk chains advance
+        # in LOCKSTEP (position-major loop) so their independent loads
+        # and reduces pipeline instead of serializing into one long
+        # dependency chain.  The random bits arrive as an INPUT (host
+        # threefry), so compiled and interpreted runs are bit-comparable
+        # and the walk stream is reproducible in numpy (tests/oracle).
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
         def ext(ref, idx):
@@ -174,14 +173,19 @@ def _walk_kernel(
             return jnp.sum(jnp.where(lane_iota == lane, row, 0))
 
         inv24 = jnp.float32(1.0 / (1 << 24))
-        for j in range(NWL // Lp):
+        NW_ = NWL // Lp
+        vs = []
+        for j in range(NW_):
             v = walks_ref[j * Lp]
             wgen_ref[j * Lp] = v
-            for t in range(1, Lp):
+            vs.append(v)
+        for t in range(1, Lp):
+            for j in range(NW_):
                 if t < L:
+                    v = vs[j]
                     b = bits_ref[j * Lp + t]
-                    lo = ext(indptr_ref, v)
-                    deg = ext(indptr_ref, v + 1) - lo
+                    lo = indptr_smem[v]
+                    deg = deg_smem[v]
                     u = ((b >> 8) & jnp.int32(0xFFFFFF)).astype(
                         jnp.float32
                     ) * inv24
@@ -191,8 +195,8 @@ def _walk_kernel(
                     )
                     nxt = ext(indices_ref, lo + r)
                     ok = (deg > 0).astype(jnp.int32)
-                    v = nxt * ok + v * (1 - ok)  # isolated nodes stay
-                    wgen_ref[j * Lp + t] = v
+                    vs[j] = nxt * ok + v * (1 - ok)  # isolated nodes stay
+                    wgen_ref[j * Lp + t] = vs[j]
                 else:
                     wgen_ref[j * Lp + t] = 0  # padded slots (masked)
 
@@ -232,14 +236,21 @@ def _walk_kernel(
         for j in range(U):
             t = base + j
             v = wslot(t)
+            # PAIRED: ctx staged PRE-SWAPPED — slot t holds the ctx row of
+            # its 2-slot partner t^1, so the positive pass is elementwise
+            c = wslot(t ^ 1) if PAIRED else v
             if TABLES_BF16:
                 r = v >> 1
                 sh = ((v & 1) << 4).astype(jnp.uint32)
                 phi_ref[t, :] = _unpack_row(emb_in_out[r, :], sh, INTERPRET)
-                ctx_ref[t, :] = _unpack_row(emb_out_out[r, :], sh, INTERPRET)
+                rc = c >> 1
+                shc = ((c & 1) << 4).astype(jnp.uint32)
+                ctx_ref[t, :] = _unpack_row(
+                    emb_out_out[rc, :], shc, INTERPRET
+                )
             else:
                 phi_ref[t, :] = emb_in_out[v, :]
-                ctx_ref[t, :] = emb_out_out[v, :]
+                ctx_ref[t, :] = emb_out_out[c, :]
         return 0
 
     jax.lax.fori_loop(0, NWL // U, gather, 0)
@@ -273,30 +284,34 @@ def _walk_kernel(
     brow = jax.lax.broadcasted_iota(jnp.int32, (NWL, 1), 0) // Lp
     row_ok = prow < L  # real position within the walk
 
-    # ---- banded positive pass, in column blocks
-    dphi = jnp.zeros((NWL, phi.shape[1]), jnp.float32)
-    n_t = jnp.zeros((NWL, 1), jnp.float32)
-    loss_pos = 0.0
-    for cb in range(NWL // CB):
-        ctx_blk = ctx_ref[pl.ds(cb * CB, CB), :]  # [CB, d]
-        ctx_blk_m = ctx_blk.astype(mxu_t)
-        pcol = (
-            jax.lax.broadcasted_iota(jnp.int32, (NWL, CB), 1) + cb * CB
-        )
-        bcol = pcol // Lp
-        pcol = pcol % Lp
-        off = pcol - prow  # [S, CB]
-        if PAIRED:
-            # edge mode: only the 2-slot partner is a context
-            fcol = jax.lax.broadcasted_iota(jnp.int32, (NWL, CB), 1) + cb * CB
-            frow = jax.lax.broadcasted_iota(jnp.int32, (NWL, CB), 0)
-            m = (
-                ((fcol >> 1) == (frow >> 1))
-                & (off != 0)
-                & row_ok
-                & (pcol < L)
-            ).astype(jnp.float32)
-        else:
+    if PAIRED:
+        # ---- O2 edge mode: the "band" is one partner slot, so the whole
+        # positive pass is elementwise VPU work on the pre-swapped ctx
+        # staging (slot t holds partner t^1's row) — no [S, S] score
+        # matmuls or mask tensors.  dctx_ref[t] is the gradient for the
+        # partner's ctx row; the scatter writes it to wslot(t^1).
+        # Partner validity equals own validity (L is even, pairs aligned).
+        mvalid = row_ok.astype(jnp.float32)  # [S, 1]
+        s_pair = jnp.sum(phi * ctx, axis=1, keepdims=True)  # [S, 1]
+        g_pair = (jax.nn.sigmoid(s_pair) - 1.0) * mvalid
+        loss_pos = -jnp.sum(mvalid * jax.nn.log_sigmoid(s_pair))
+        n_t = mvalid
+        dphi = g_pair * ctx
+        dctx_ref[:, :] = g_pair * phi
+    else:
+        # ---- banded positive pass, in column blocks
+        dphi = jnp.zeros((NWL, phi.shape[1]), jnp.float32)
+        n_t = jnp.zeros((NWL, 1), jnp.float32)
+        loss_pos = 0.0
+        for cb in range(NWL // CB):
+            ctx_blk = ctx_ref[pl.ds(cb * CB, CB), :]  # [CB, d]
+            ctx_blk_m = ctx_blk.astype(mxu_t)
+            pcol = (
+                jax.lax.broadcasted_iota(jnp.int32, (NWL, CB), 1) + cb * CB
+            )
+            bcol = pcol // Lp
+            pcol = pcol % Lp
+            off = pcol - prow  # [S, CB]
             m = (
                 (bcol == brow)
                 & (off != 0)
@@ -304,23 +319,23 @@ def _walk_kernel(
                 & row_ok
                 & (pcol < L)
             ).astype(jnp.float32)
-        s_blk = jax.lax.dot_general(
-            phi_m, ctx_blk_m,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [S, CB]
-        g_blk = (jax.nn.sigmoid(s_blk) - 1.0) * m
-        loss_pos += -jnp.sum(m * jax.nn.log_sigmoid(s_blk))
-        n_t += jnp.sum(m, axis=1, keepdims=True)
-        g_blk_m = g_blk.astype(mxu_t)
-        dphi += jnp.dot(
-            g_blk_m, ctx_blk_m, preferred_element_type=jnp.float32
-        )
-        dctx_ref[pl.ds(cb * CB, CB), :] = jax.lax.dot_general(
-            g_blk_m, phi_m,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            s_blk = jax.lax.dot_general(
+                phi_m, ctx_blk_m,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [S, CB]
+            g_blk = (jax.nn.sigmoid(s_blk) - 1.0) * m
+            loss_pos += -jnp.sum(m * jax.nn.log_sigmoid(s_blk))
+            n_t += jnp.sum(m, axis=1, keepdims=True)
+            g_blk_m = g_blk.astype(mxu_t)
+            dphi += jnp.dot(
+                g_blk_m, ctx_blk_m, preferred_element_type=jnp.float32
+            )
+            dctx_ref[pl.ds(cb * CB, CB), :] = jax.lax.dot_general(
+                g_blk_m, phi_m,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     # ---- shared-pool negatives, weighted by each center's pair count
     cneg_m = cneg_ref[:, :].astype(mxu_t)
@@ -353,6 +368,9 @@ def _walk_kernel(
         for j in range(U):
             t = base + j
             v = wslot(t)
+            # PAIRED: dctx_ref[t] belongs to the partner's ctx row (the
+            # ctx staging was pre-swapped in the gather)
+            c = wslot(t ^ 1) if PAIRED else v
             if TABLES_BF16:
                 r = v >> 1
                 sh = ((v & 1) << 4).astype(jnp.uint32)
@@ -362,16 +380,18 @@ def _walk_kernel(
                     bin_, new_in, sh,
                     rnd_ref[t, :] if SR else None, INTERPRET,
                 )
-                bout = emb_out_out[r, :]
-                new_out = _unpack_row(bout, sh, INTERPRET) + dctx_ref[t, :]
-                emb_out_out[r, :] = _pack_row(
-                    bout, new_out, sh,
+                rc = c >> 1
+                shc = ((c & 1) << 4).astype(jnp.uint32)
+                bout = emb_out_out[rc, :]
+                new_out = _unpack_row(bout, shc, INTERPRET) + dctx_ref[t, :]
+                emb_out_out[rc, :] = _pack_row(
+                    bout, new_out, shc,
                     (rnd_ref[t, :] >> jnp.uint32(16)) if SR else None,
                     INTERPRET,
                 )
             else:
                 emb_in_out[v, :] = emb_in_out[v, :] + dphi_ref[t, :]
-                emb_out_out[v, :] = emb_out_out[v, :] + dctx_ref[t, :]
+                emb_out_out[c, :] = emb_out_out[c, :] + dctx_ref[t, :]
         return 0
 
     jax.lax.fori_loop(0, NWL // U, scatter, 0)
@@ -431,8 +451,9 @@ def fused_walk_sgns_step(
     pool_refresh: int = 1,
     paired: bool = False,
     gen_bits: jnp.ndarray | None = None,       # [G, NWL] i32 (gen mode)
-    gen_indptr: jnp.ndarray | None = None,     # [Rp, 128] i32 padded CSR
-    gen_indices: jnp.ndarray | None = None,    # [Re, 128] i32
+    gen_indptr: jnp.ndarray | None = None,     # [Vp1] i32 (SMEM-resident)
+    gen_deg: jnp.ndarray | None = None,        # [Vp1] i32 (SMEM-resident)
+    gen_indices: jnp.ndarray | None = None,    # [Re, 128] i32 (VMEM)
 ):
     """One O1 macro step over a batch of walks, fully fused.
 
@@ -554,7 +575,14 @@ def fused_walk_sgns_step(
             pl.BlockSpec(
                 (NWL,), lambda i, _s: (i,), memory_space=pltpu.SMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                gen_indptr.shape, lambda i, _s: (0,),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                gen_deg.shape, lambda i, _s: (0,),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ] if gen else []),
         out_specs=[
@@ -574,7 +602,6 @@ def fused_walk_sgns_step(
             pltpu.SemaphoreType.DMA,
         ] + ([
             pltpu.SMEM((NWL,), jnp.int32),        # generated walk slots
-            pltpu.VMEM(gen_indptr.shape, jnp.int32),
             pltpu.VMEM(gen_indices.shape, jnp.int32),
         ] if gen else []),
     )
@@ -604,6 +631,7 @@ def fused_walk_sgns_step(
                 gen_bits, jnp.int32
             ).reshape(G * NWL),
             gen_indptr.astype(jnp.int32),
+            gen_deg.astype(jnp.int32),
             gen_indices.astype(jnp.int32),
         ] if gen else []),
     )
@@ -637,13 +665,35 @@ def pack_csr_2d(indptr, indices):
     return to2d(indptr), to2d(indices)
 
 
+def pack_csr_gen(indptr, indices):
+    """CSR layout for the in-kernel walk generator: row offsets and degrees
+    as FLAT i32 arrays (SMEM-resident — direct scalar loads in the kernel),
+    neighbor lists padded to [*, 128] (VMEM, one-hot lane extraction).
+    1-D s32 operands carry XLA layout T(1024), so the flat arrays pad to a
+    1024 multiple."""
+    import numpy as np
+
+    ip = np.asarray(indptr, np.int32)
+    dg = (ip[1:] - ip[:-1]).astype(np.int32)
+
+    def flat(a):
+        n = max(1024, -(-len(a) // 1024) * 1024)
+        out = np.zeros((n,), np.int32)
+        out[: len(a)] = a
+        return out
+
+    _, ix2 = pack_csr_2d(ip, indices)
+    return flat(ip[:-1]), flat(dg), ix2
+
+
 def fused_walk_sgns_gen_step(
     emb_in,
     emb_out,
     starts,       # [B] i32 walk origins
     bits,         # [G, NWL] random u32/i32 (host threefry), G = ceil(B/NW)
-    indptr2d,     # [Rp, 128] i32 (pack_csr_2d)
-    indices2d,    # [Re, 128] i32
+    indptr1d,     # [Vp1] i32 (pack_csr_gen; SMEM-resident row offsets)
+    deg1d,        # [Vp1] i32 (pack_csr_gen; SMEM-resident degrees)
+    indices2d,    # [Re, 128] i32 (VMEM neighbor lists)
     shared_negs,
     lr,
     negative_weight,
@@ -659,10 +709,12 @@ def fused_walk_sgns_gen_step(
 ):
     """O1 macro step with IN-KERNEL walk generation (VERDICT r2 item 5).
 
-    The kernel generates each group's walks from the VMEM-resident CSR
-    (one-hot lane extraction over [*,128] rows) right before staging, so
-    there is no separate walker scan at all — walk generation rides the
-    same grid step as the SGNS math.  Randomness arrives as an input bit
+    The kernel generates each group's walks right before staging, so there
+    is no separate walker scan at all — walk generation rides the same
+    grid step as the SGNS math.  CSR offsets/degrees are SMEM-resident
+    (direct scalar loads), neighbor lists VMEM-resident (one-hot lane
+    extraction over [*, 128] rows), and the NW walk chains advance in
+    lockstep so their loads pipeline.  Randomness arrives as an input bit
     matrix (one host threefry call per macro step), which keeps compiled
     and interpreted runs bit-comparable and the walk stream reproducible
     in numpy (the parity tests regenerate walks from the same bits).
@@ -676,5 +728,6 @@ def fused_walk_sgns_gen_step(
         window=window, column_block=column_block, interpret=interpret,
         reduced_window=reduced_window, mxu_bf16=mxu_bf16,
         pool_refresh=pool_refresh,
-        gen_bits=bits, gen_indptr=indptr2d, gen_indices=indices2d,
+        gen_bits=bits, gen_indptr=indptr1d, gen_deg=deg1d,
+        gen_indices=indices2d,
     )

@@ -347,8 +347,11 @@ class ComETrainer:
         if self.cfg.restart_prob != 0.0:
             return False  # gen kernel draws uniform neighbors only; the
             # scan walker handles restart (reference alpha) semantics
-        csr_bytes = (self.graph.num_nodes + 1 + self.graph.num_arcs) * 4
-        return csr_bytes <= 12 * 1024 * 1024
+        # neighbor lists ride VMEM; offsets+degrees ride SMEM (scalar
+        # loads) — both must fit their side budgets
+        if self.graph.num_arcs * 4 > 12 * 1024 * 1024:
+            return False
+        return 2 * (self.graph.num_nodes + 1) * 4 <= 256 * 1024
 
     def _o1_epoch_gen(self, state: TrainState, start_perm: jnp.ndarray):
         """O1 epoch with IN-KERNEL walk generation: no walker scan at all —
@@ -387,7 +390,8 @@ class ComETrainer:
             seed = jax.random.randint(kp, (), 0, 2**31 - 1, dtype=jnp.int32)
             ne, ce, loss, npairs = fused_walk_sgns_gen_step(
                 params.node_emb, params.ctx_emb, starts, bits,
-                self._csr_indptr2d, self._csr_indices2d, sneg,
+                self._csr_indptr1d, self._csr_deg1d,
+                self._csr_indices2d, sneg,
                 lr, negw, seed, walk_length=cfg.walk_length,
                 window=cfg.window, interpret=interp,
                 reduced_window=not interp,
@@ -565,11 +569,14 @@ class ComETrainer:
         )
         perm = jnp.resize(perm, (S, B))  # wraps the tail batch
         if self._use_walk_kernel_gen() and cfg.walk_regen_epochs == 1:
-            if not hasattr(self, "_csr_indptr2d"):
-                from come_tpu.ops.pallas_walk_sgns import pack_csr_2d
+            if not hasattr(self, "_csr_indptr1d"):
+                from come_tpu.ops.pallas_walk_sgns import pack_csr_gen
 
-                ip2, ix2 = pack_csr_2d(self.graph.indptr, self.graph.indices)
-                self._csr_indptr2d = jnp.asarray(ip2)
+                ip1, dg1, ix2 = pack_csr_gen(
+                    self.graph.indptr, self.graph.indices
+                )
+                self._csr_indptr1d = jnp.asarray(ip1)
+                self._csr_deg1d = jnp.asarray(dg1)
                 self._csr_indices2d = jnp.asarray(ix2)
                 self._o1_gen_jit = jax.jit(
                     self._o1_epoch_gen, donate_argnums=0

@@ -147,6 +147,34 @@ def main(argv=None) -> int:
     walk_case(4096, False, False, 3e-5, "walk-f32")
     walk_case(4096, False, True, 3e-3, "walk-bf16-mxu")
     walk_case(4096, True, False, 2e-2, "walk-bf16-tab")
+
+    # ---- paired (O2 edge) mode: pre-swapped ctx staging + elementwise
+    # positive pass — its own Mosaic surface, gated separately ----
+    t0 = time.perf_counter()
+    V = 4096
+    ei, eo = tables(V)
+    B_r, EPR = 16, 64
+    rows = jnp.asarray(
+        rng.integers(0, V, (B_r, 2 * EPR)).astype(np.int32)
+    )
+    pools = jnp.asarray(rng.integers(0, V, (1, KP)).astype(np.int32))
+
+    def run_paired(interp):
+        return fused_walk_sgns_step(
+            ei, ei, rows, pools, lr, negw, 0, window=1,
+            interpret=interp, reduced_window=False, pool_refresh=2,
+            paired=True,
+        )
+
+    hw, it = run_paired(False), run_paired(True)
+    npw, npi = float(hw[3]), float(it[3])
+    ok &= _check(
+        "walk-paired-o2",
+        [(hw[0], it[0]), (hw[1], it[1]),
+         (float(hw[2]) / max(npw, 1), float(it[2]) / max(npi, 1)),
+         (npw, npi)],
+        3e-5, t0,
+    )
     if not args.quick:
         # near the f32 VMEM tier edge (~98k rows @ d=128, 48MB budget)
         walk_case(90000, False, False, 3e-5, "walk-f32-90k")

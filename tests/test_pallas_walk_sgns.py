@@ -334,7 +334,7 @@ def test_gen_mode_matches_pregenerated_walks():
         NWL,
         fused_walk_sgns_gen_step,
         fused_walk_sgns_step,
-        pack_csr_2d,
+        pack_csr_gen,
     )
 
     g, _ = sbm_graph(300, 3, p_in=0.2, p_out=0.02, seed=1)
@@ -347,11 +347,12 @@ def test_gen_mode_matches_pregenerated_walks():
     starts = rng.integers(0, V, G * NW).astype(np.int32)
     bits = rng.integers(0, 2**32, (G, NWL), dtype=np.uint32)
     pool = rng.integers(0, V, (G, KP)).astype(np.int32)
-    indptr2d, indices2d = pack_csr_2d(g.indptr, g.indices)
+    indptr1d, deg1d, indices2d = pack_csr_gen(g.indptr, g.indices)
 
     gi, go, gloss, gnp_ = fused_walk_sgns_gen_step(
         ei, eo, jnp.asarray(starts), jnp.asarray(bits),
-        jnp.asarray(indptr2d), jnp.asarray(indices2d), jnp.asarray(pool),
+        jnp.asarray(indptr1d), jnp.asarray(deg1d),
+        jnp.asarray(indices2d), jnp.asarray(pool),
         0.025, 5 / KP, 0, walk_length=L, window=W, interpret=True,
         reduced_window=False,
     )

@@ -290,7 +290,7 @@ def test_walk_gen_kernel_trains():
     t = ComETrainer(g, _cfg(walk_gen="kernel"))
     assert t._use_walk_kernel_gen()
     first = t.o1_epoch()
-    assert hasattr(t, "_csr_indptr2d")  # gen path actually taken
+    assert hasattr(t, "_csr_indptr1d")  # gen path actually taken
     losses = [t.o1_epoch() for _ in range(7)]
     assert np.isfinite(first) and losses[-1] < first
     t.fit_gmm()
