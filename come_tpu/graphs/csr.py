@@ -161,6 +161,14 @@ class CSRGraph:
             indptr=jnp.asarray(self.indptr),
             indices=jnp.asarray(self.indices),
             degrees=jnp.asarray(self.degrees),
+            # packed [V, 2] (row offset, degree): the walker reads both per
+            # step — one two-lane gather instead of two element gathers
+            ptr_deg=jnp.asarray(
+                np.stack(
+                    [np.asarray(self.indptr[:-1]), np.asarray(self.degrees)],
+                    axis=1,
+                ).astype(np.int32)
+            ),
         )
 
 
@@ -174,6 +182,7 @@ class DeviceCSR:
     indptr: "object"  # jnp int32 [V+1]
     indices: "object"  # jnp int32 [E]
     degrees: "object"  # jnp int32 [V]
+    ptr_deg: "object" = None  # jnp int32 [V, 2]: (indptr[v], degree[v])
 
     @property
     def num_nodes(self) -> int:
@@ -185,7 +194,7 @@ class DeviceCSR:
 
 
 def _flatten_device_csr(g: DeviceCSR):
-    return (g.indptr, g.indices, g.degrees), None
+    return (g.indptr, g.indices, g.degrees, g.ptr_deg), None
 
 
 def _unflatten_device_csr(_, children):

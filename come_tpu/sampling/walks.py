@@ -58,7 +58,15 @@ def random_walks(
     def step(carry, xs):
         v = carry
         bits, rb = xs
-        deg = csr.degrees[v]
+        if csr.ptr_deg is not None:
+            # one two-lane gather yields (row offset, degree) together —
+            # the walker's cost is per-step gather latency, so fusing the
+            # two element gathers into one row gather is a direct win
+            pd = csr.ptr_deg[v]
+            lo, deg = pd[..., 0], pd[..., 1]
+        else:
+            deg = csr.degrees[v]
+            lo = csr.indptr[v]
         # top 24 bits -> u in [0, 1); floor(u * deg) is uniform for
         # deg < 2^24 (f32-exact)
         u = (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
@@ -66,7 +74,7 @@ def random_walks(
         )
         r = jnp.minimum((u * deg.astype(jnp.float32)).astype(jnp.int32),
                         jnp.maximum(deg - 1, 0))
-        nxt = csr.indices[csr.indptr[v] + r]
+        nxt = csr.indices[lo + r]
         nxt = jnp.where(deg > 0, nxt, v)  # isolated nodes stay put
         if restart_prob > 0.0:
             nxt = jnp.where(rb < rthresh, start_nodes, nxt)

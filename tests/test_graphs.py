@@ -90,7 +90,7 @@ def test_device_csr_pytree():
 
     g = CSRGraph.from_arcs([0, 1], [1, 2], num_nodes=3).to_device()
     leaves = jax.tree_util.tree_leaves(g)
-    assert len(leaves) == 3
+    assert len(leaves) == 4  # indptr, indices, degrees, packed ptr_deg
     assert g.num_nodes == 3
 
 
