@@ -138,10 +138,13 @@ def dc_sbm_graph(
     touched[dst[ns]] = True
     lone = np.where(~touched)[0]
     if len(lone):
-        mates = np.array([
-            rng.choice(members[labels[i]][members[labels[i]] != i])
-            for i in lone
-        ])
+        def mate(i):
+            peers = members[labels[i]][members[labels[i]] != i]
+            if len(peers) == 0:  # singleton community: any other node
+                return (i + 1) % num_nodes
+            return rng.choice(peers)
+
+        mates = np.array([mate(i) for i in lone])
         src = np.concatenate([src, lone])
         dst = np.concatenate([dst, mates])
     g = CSRGraph.from_arcs(src, dst, num_nodes=num_nodes, symmetrize=True)

@@ -3,6 +3,7 @@ from come_tpu.iohelpers.persist import (
     load_embedding_word2vec,
     save_checkpoint,
     load_checkpoint,
+    load_host_key,
     save_checkpoint_sharded,
     load_checkpoint_sharded,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "load_embedding_word2vec",
     "save_checkpoint",
     "load_checkpoint",
+    "load_host_key",
     "save_checkpoint_sharded",
     "load_checkpoint_sharded",
 ]

@@ -51,15 +51,35 @@ def load_embedding_word2vec(path: str | Path):
     return rows, names
 
 
-def save_checkpoint(path: str | Path, state) -> None:
+def save_checkpoint(path: str | Path, state, host_key=None) -> None:
     """Atomic .npz checkpoint of a TrainState (params + step + RNG).
+
+    ``host_key``: the trainer's HOST-side RNG (walk/edge permutation
+    draws).  Without it a resumed run re-seeds the permutation stream and
+    diverges from the uninterrupted trajectory — pass it for bit-exact
+    resume (the trainer's own save/load methods do).
 
     Single-host form: gathers every leaf to host memory.  Multi-host runs
     (non-fully-addressable arrays) must use :func:`save_checkpoint_sharded`
     — ``np.asarray`` on a non-addressable array raises.
     """
     flat = {k: np.asarray(v) for k, v in _state_leaves(state).items()}
+    if host_key is not None:
+        flat["host_key"] = np.asarray(jax.random.key_data(host_key))
     _atomic_savez(Path(path), flat)
+
+
+def load_host_key(path: str | Path, process_index: int | None = None):
+    """Restore the trainer host RNG saved alongside a checkpoint, or None
+    for checkpoints written before it existed.  ``process_index`` selects
+    a :func:`save_checkpoint_sharded` per-process file."""
+    p = Path(path) if process_index is None else _proc_path(
+        path, process_index
+    )
+    z = np.load(p)
+    if "host_key" not in z.files:
+        return None
+    return jax.random.wrap_key_data(jnp.asarray(z["host_key"]))
 
 
 def _state_leaves(state) -> dict:
@@ -100,7 +120,7 @@ def _row_start(idx) -> int:
     return int(idx[0].start)
 
 
-def save_checkpoint_sharded(path: str | Path, state) -> None:
+def save_checkpoint_sharded(path: str | Path, state, host_key=None) -> None:
     """Multi-host-safe checkpoint: each process writes ONE npz holding only
     its ADDRESSABLE shards (no host gather of non-addressable arrays — the
     failure mode of :func:`save_checkpoint` on a multi-host mesh,
@@ -118,6 +138,8 @@ def save_checkpoint_sharded(path: str | Path, state) -> None:
     sharded runs.
     """
     payload: dict = {"_process_count": np.int64(jax.process_count())}
+    if host_key is not None:
+        payload["host_key"] = np.asarray(jax.random.key_data(host_key))
     for name, x in _state_leaves(state).items():
         if not isinstance(x, jax.Array) or x.is_fully_addressable:
             arr = np.asarray(x)

@@ -82,6 +82,35 @@ def _kmeans_init(X, K, key, iters: int = 8):
     return jax.nn.one_hot(jnp.argmin(d2, axis=1), K, dtype=X.dtype)
 
 
+def _em_while_loop(means, chol, log_w, e_step, m_step, max_iter, tol):
+    """Shared tol-rule EM convergence loop (sklearn's rule, which the
+    reference inherits [R, SURVEY.md C8]): stop once the mean
+    log-likelihood improves by less than ``tol`` between iterations,
+    ``max_iter`` the hard cap.  ``it < 2`` keeps the first two iterations
+    unconditional (prev_ll/ll start at -inf; -inf - -inf is NaN).
+    ``tol <= 0`` statically disables early stop.  One definition serves
+    the single-device and sharded fits so the stopping rules can't drift.
+    """
+
+    def em_cond(c):
+        it, prev_ll, ll = c[0], c[1], c[2]
+        if tol <= 0:  # static: early stop disabled
+            return it < max_iter
+        improving = (it < 2) | (ll - prev_ll > tol)
+        return (it < max_iter) & improving
+
+    def em_body(c):
+        it, prev_ll, ll, means, chol, log_w = c
+        resp, new_ll = e_step(means, chol, log_w)
+        return (it + 1, ll, new_ll) + tuple(m_step(resp))
+
+    ninf = jnp.float32(-jnp.inf)
+    _, _, _, means, chol, log_w = jax.lax.while_loop(
+        em_cond, em_body, (0, ninf, ninf, means, chol, log_w)
+    )
+    return means, chol, log_w
+
+
 @partial(
     jax.jit, static_argnames=("num_components", "max_iter", "n_init", "tol")
 )
@@ -112,23 +141,11 @@ def gmm_em_fit(
     def one_fit(k):
         resp0 = _kmeans_init(X, K, k)
         means, chol, log_w = _m_step(X, resp0, reg_covar)
-
-        def em_cond(c):
-            it, prev_ll, ll, *_ = c
-            if tol <= 0:  # static: early stop disabled
-                return it < max_iter
-            improving = (it < 2) | (ll - prev_ll > tol)
-            return (it < max_iter) & improving
-
-        def em_body(c):
-            it, prev_ll, ll, means, chol, log_w = c
-            resp, new_ll = _e_step(X, means, chol, log_w)
-            means, chol, log_w = _m_step(X, resp, reg_covar)
-            return (it + 1, ll, new_ll, means, chol, log_w)
-
-        ninf = jnp.float32(-jnp.inf)
-        _, _, _, means, chol, log_w = jax.lax.while_loop(
-            em_cond, em_body, (0, ninf, ninf, means, chol, log_w)
+        means, chol, log_w = _em_while_loop(
+            means, chol, log_w,
+            lambda m, c, w: _e_step(X, m, c, w),
+            lambda resp: _m_step(X, resp, reg_covar),
+            max_iter, tol,
         )
         resp, ll = _e_step(X, means, chol, log_w)
         return means, chol, log_w, resp, ll
@@ -249,24 +266,10 @@ def gmm_em_fit_sharded(
 
     def one_fit(carry, k):
         means, chol, log_w = m_step(init_resp(k))
-
-        # tol-based early stop (see gmm_em_fit); the loop condition is
-        # uniform across shards because ll is psum'd
-        def em_cond(c):
-            it, prev_ll, ll, *_ = c
-            if tol <= 0:  # static: early stop disabled
-                return it < max_iter
-            improving = (it < 2) | (ll - prev_ll > tol)
-            return (it < max_iter) & improving
-
-        def em_body(c):
-            it, prev_ll, ll, means, chol, log_w = c
-            resp, new_ll = e_step(means, chol, log_w)
-            return (it + 1, ll, new_ll) + m_step(resp)
-
-        ninf = jnp.float32(-jnp.inf)
-        _, _, _, means, chol, log_w = jax.lax.while_loop(
-            em_cond, em_body, (0, ninf, ninf, means, chol, log_w)
+        # shared tol-rule EM loop; the condition is uniform across shards
+        # because ll is psum'd inside e_step
+        means, chol, log_w = _em_while_loop(
+            means, chol, log_w, e_step, m_step, max_iter, tol
         )
         resp, ll = e_step(means, chol, log_w)
         best_ll, best = carry

@@ -68,9 +68,7 @@ def main(argv=None) -> int:
     t0 = time.time()
     trainer = ComETrainer(ds.graph, cfg)
     if args.resume:
-        from come_tpu.iohelpers import load_checkpoint
-
-        trainer.state = load_checkpoint(args.resume)
+        trainer.load_checkpoint(args.resume)  # restores host_key too
         print(f"resumed from {args.resume} "
               f"(words_seen={float(trainer.state.words_seen):.0f})")
     emit = (lambda s: print(json.dumps({"log": s}))) if args.json else print

@@ -682,8 +682,11 @@ def pack_csr_gen(indptr, indices):
         out[: len(a)] = a
         return out
 
-    _, ix2 = pack_csr_2d(ip, indices)
-    return flat(ip[:-1]), flat(dg), ix2
+    ix = np.asarray(indices, np.int32)
+    rows = max(1, -(-len(ix) // 128))
+    ix2 = np.zeros((rows * 128,), np.int32)
+    ix2[: len(ix)] = ix
+    return flat(ip[:-1]), flat(dg), ix2.reshape(rows, 128)
 
 
 def fused_walk_sgns_gen_step(

@@ -1061,12 +1061,15 @@ class ShardedComETrainer(ComETrainer):
         non-addressable leaves — VERDICT r2 missing #3)."""
         from come_tpu.iohelpers import save_checkpoint_sharded
 
-        save_checkpoint_sharded(path, self.state)
+        save_checkpoint_sharded(path, self.state, host_key=self.host_key)
 
     def load_checkpoint(self, path) -> None:
-        from come_tpu.iohelpers import load_checkpoint_sharded
+        from come_tpu.iohelpers import load_checkpoint_sharded, load_host_key
 
         self.state = load_checkpoint_sharded(path, self.layout)
+        hk = load_host_key(path, process_index=jax.process_index())
+        if hk is not None:  # bit-exact resume incl. walk/edge permutations
+            self.host_key = hk
 
     def _to_host(self, x) -> np.ndarray:
         """Materialize a (possibly non-fully-addressable) global array on

@@ -758,10 +758,14 @@ class ComETrainer:
                 self.accept, self.alias, kn,
                 (n_pools, cfg.shared_negatives),
             )
+            # PRNG unused today in paired mode (no reduced window, f32
+            # tables) but the seed is threaded so SR/bf16 support can't
+            # silently share one stream across macro steps
+            seed = jax.random.randint(kp, (), 0, 2**31 - 1, dtype=jnp.int32)
             ne0 = params.node_emb
             new_in, new_out, loss, npairs = fused_walk_sgns_step(
                 ne0, ne0, rows, sneg, lr * cfg.alpha,
-                cfg.negative / cfg.shared_negatives, 0,
+                cfg.negative / cfg.shared_negatives, seed,
                 window=1, interpret=interp, reduced_window=False,
                 mxu_bf16=cfg.walk_kernel_bf16,
                 pool_refresh=cfg.walk_pool_refresh, paired=True,
@@ -964,12 +968,15 @@ class ComETrainer:
     def save_checkpoint(self, path) -> None:
         from come_tpu.iohelpers import save_checkpoint
 
-        save_checkpoint(path, self.state)
+        save_checkpoint(path, self.state, host_key=self.host_key)
 
     def load_checkpoint(self, path) -> None:
-        from come_tpu.iohelpers import load_checkpoint
+        from come_tpu.iohelpers import load_checkpoint, load_host_key
 
         self.state = load_checkpoint(path)
+        hk = load_host_key(path)
+        if hk is not None:  # bit-exact resume incl. walk/edge permutations
+            self.host_key = hk
 
     # ------------------------------------------------------------------ views
 

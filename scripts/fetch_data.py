@@ -100,6 +100,16 @@ def _validate_mat(path: pathlib.Path, nodes: int, communities: int) -> None:
 def _fetch(name: str, spec: dict, timeout: float, sums: dict) -> str:
     dest: pathlib.Path = spec["dest"]
     if dest.exists():
+        # integrity contract applies to pre-existing files too: a stale or
+        # substituted file must not silently pass on structure alone
+        if name in sums:
+            digest = _sha256(dest)
+            if sums[name] != digest:
+                raise RuntimeError(
+                    f"{name}: existing file sha256 mismatch (got {digest}, "
+                    f"checksums.json has {sums[name]}) — delete "
+                    f"{dest} and re-fetch"
+                )
         _validate_mat(dest, spec["nodes"], spec["communities"])
         return f"{name}: already present ({dest.relative_to(REPO)}) — valid"
     import urllib.error

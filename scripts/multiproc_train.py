@@ -120,8 +120,7 @@ def main(argv=None) -> int:
         path = Path(args.checkpoint_dir) / "state"
         t.save_checkpoint(path)
         t2 = ShardedComETrainer(g, cfg, mesh)
-        t2.load_checkpoint(path)
-        t2.host_key = t.host_key  # align host-side walk-permutation RNG
+        t2.load_checkpoint(path)  # restores host_key too (bit-exact)
         for a, b in zip(
             jax.tree.leaves(t.state.params), jax.tree.leaves(t2.state.params)
         ):

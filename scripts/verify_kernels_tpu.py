@@ -175,6 +175,47 @@ def main(argv=None) -> int:
          (npw, npi)],
         3e-5, t0,
     )
+
+    # ---- GEN_WALKS (in-kernel walk generation): SMEM CSR scalar loads +
+    # VMEM one-hot lane extraction — its own Mosaic surface; bench
+    # publishes o1_fresh_kernel_gen, so the gate must cover it ----
+    t0 = time.perf_counter()
+    from come_tpu.graphs import sbm_graph
+    from come_tpu.ops.pallas_walk_sgns import (
+        NWL,
+        fused_walk_sgns_gen_step,
+        pack_csr_gen,
+    )
+
+    g, _ = sbm_graph(1500, 4, p_in=0.1, p_out=0.01, seed=5)
+    ei, eo = tables(1500)
+    Lg, Wg = 24, 4
+    starts = jnp.asarray(
+        rng.integers(0, 1500, 2 * (NWL // 128)).astype(np.int32)
+    )
+    bits = jnp.asarray(
+        rng.integers(0, 2**31, (2, NWL), dtype=np.int64).astype(np.int32)
+    )
+    ip1, dg1, ix2 = pack_csr_gen(g.indptr, g.indices)
+    pools = jnp.asarray(rng.integers(0, 1500, (1, KP)).astype(np.int32))
+
+    def run_gen(interp):
+        return fused_walk_sgns_gen_step(
+            ei, eo, starts, bits, jnp.asarray(ip1), jnp.asarray(dg1),
+            jnp.asarray(ix2), pools, lr, negw, 0, walk_length=Lg,
+            window=Wg, interpret=interp, reduced_window=False,
+            pool_refresh=2,
+        )
+
+    hw, it = run_gen(False), run_gen(True)
+    npw, npi = float(hw[3]), float(it[3])
+    ok &= _check(
+        "walk-gen-csr",
+        [(hw[0], it[0]), (hw[1], it[1]),
+         (float(hw[2]) / max(npw, 1), float(it[2]) / max(npi, 1)),
+         (npw, npi)],
+        3e-5, t0,
+    )
     if not args.quick:
         # near the f32 VMEM tier edge (~98k rows @ d=128, 48MB budget)
         walk_case(90000, False, False, 3e-5, "walk-f32-90k")

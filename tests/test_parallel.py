@@ -187,8 +187,9 @@ def test_sharded_checkpoint_roundtrip(tmp_path, karate):
     assert (
         t2.state.params.node_emb.sharding == t.state.params.node_emb.sharding
     )
-    t2.host_key = t.host_key
-    assert t.o1_epoch() == t2.o1_epoch()  # bit-exact continuation
+    # host_key is restored from the checkpoint (walk/edge permutation
+    # stream) — the continuation is bit-exact with NO manual alignment
+    assert t.o1_epoch() == t2.o1_epoch()
 
 
 def test_exchange_overlap_ab_scalar(karate):

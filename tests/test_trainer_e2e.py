@@ -71,6 +71,21 @@ def test_checkpoint_roundtrip(tmp_path, karate):
     t.o1_epoch()
 
 
+def test_checkpoint_resume_bit_exact(tmp_path, karate):
+    """Trainer save/load restores the HOST permutation RNG too: the resumed
+    run reproduces the uninterrupted trajectory bit-exactly with no manual
+    host_key alignment (code-review r3 finding)."""
+    cfg = get_config("karate").replace(outer_iters=0, pretrain_epochs=1)
+    t = ComETrainer(karate.graph, cfg)
+    t.o1_epoch()
+    ckpt = tmp_path / "state.npz"
+    t.save_checkpoint(ckpt)
+    t2 = ComETrainer(karate.graph, cfg)  # fresh host_key
+    t2.load_checkpoint(ckpt)
+    assert t.o1_epoch() == t2.o1_epoch()
+    np.testing.assert_array_equal(t.embeddings(), t2.embeddings())
+
+
 def test_word2vec_text_roundtrip(tmp_path):
     from come_tpu.iohelpers import (
         load_embedding_word2vec,
