@@ -37,6 +37,10 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint-dir", default=None,
                    help="also exercise a sharded checkpoint+resume "
                         "round trip (bit-exact, no host gather)")
+    p.add_argument("--overlap-ab", action="store_true",
+                   help="also report exchange_overlap_ab scalars "
+                        "(exchange-vs-compute wall ms; meaningful on real "
+                        "ICI, indicative only on the CPU simulation)")
     args = p.parse_args(argv)
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -139,9 +143,15 @@ def main(argv=None) -> int:
             )
         ckpt = " ckpt=ok"
 
+    ab = ""
+    if args.overlap_ab and t.layout.model_size > 1:
+        s = t.exchange_overlap_ab()
+        ab = (f" overlap_on_ms={s['overlap_on_ms']}"
+              f" overlap_off_ms={s['overlap_off_ms']}")
+
     print(
         f"MULTIPROC pid={args.process_id} o1={last:.6f} o2={l2:.6f} "
-        f"o3={l3:.6f} nmi={nmi:.4f} served={t.last_o1_served:.4f}{ckpt}",
+        f"o3={l3:.6f} nmi={nmi:.4f} served={t.last_o1_served:.4f}{ckpt}{ab}",
         flush=True,
     )
     return 0
