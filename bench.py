@@ -147,7 +147,10 @@ def main() -> None:
 
     # ---- O2 (edge pass) ----
     tf.o2_epoch()  # warmup/compile
-    o2 = _chained_rate(tf, tf.o2_epoch, tf.o2_sync, 3, "last_o2_pairs")
+    o2 = statistics.median(
+        _chained_rate(tf, tf.o2_epoch, tf.o2_sync, 3, "last_o2_pairs")
+        for _ in range(3)
+    )
 
     # ---- full loop: one outer iteration, per-phase attribution.
     # Primary number uses the CACHED corpus (reference accounting: walk
@@ -159,14 +162,18 @@ def main() -> None:
             # over the tunnel, a scalar read is one D2H round trip
             float(tr.state.params.node_emb[0, 0])
 
-        def phase_ms(fn, sync, n=2):
+        def phase_ms(fn, sync, n=2, reps=3):
+            # median-of-reps, each rep = n chained runs + one sync
             fn()  # warm/compile
             sync()
-            t0 = time.perf_counter()
-            for _ in range(n):
-                fn()
-            sync()
-            return (time.perf_counter() - t0) / n * 1e3
+            samples = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    fn()
+                sync()
+                samples.append((time.perf_counter() - t0) / n * 1e3)
+            return statistics.median(samples)
 
         tr.stats_sync(False)
         phases = {

@@ -131,8 +131,13 @@ class ComEConfig:
     # rows being one block stale — the same staleness class as the
     # reference's hogwild reads (SURVEY.md §3.2).  Exchange plans (the id
     # all-to-alls) are always hoisted out of the block loop; this flag only
-    # controls the stale-read row prefetch.
-    overlap_exchange: bool = True
+    # controls the stale-read row prefetch.  "auto" (default) resolves per
+    # backend/tier from the measured A/B (exchange_overlap_ab): ON on TPU
+    # (async ICI collectives hide behind the kernel), and on CPU-virtual
+    # meshes ON for the fused-kernel tier but OFF for the banded tier,
+    # where the A/B showed a small regression (docs/PERF.md).  True/False
+    # force it.
+    overlap_exchange: bool | str = "auto"
     # bucket slack for the a2a exchange: capacity = ceil(B/M * slack).
     # Ids past an owner's bucket are skipped that micro-step (reported by
     # the served mask); the trainer interleave-relabels node ids so

@@ -34,6 +34,10 @@ class ParityReport:
     # O2 paired-kernel row: the edge-mode walk kernel (tied composition
     # new_in + new_out - old) vs the paired sequential oracle
     o2_fanout_max_err: float = float("nan")
+    # O2 row-sharded mesh row (VERDICT r3 item 1): the (2,2)-mesh tied
+    # paired-kernel step (compact a2a-gathered tables, dn+dc routed back)
+    # vs per-worker paired oracles composed by sum-of-deltas
+    o2_rowsharded_max_err: float = float("nan")
 
     def __str__(self):
         s = "PASS" if self.passed else "FAIL"
@@ -44,7 +48,8 @@ class ParityReport:
             f"o2_fast={self.o2_fast_max_err:.2e} "
             f"o1_fast_multi={self.o1_fast_multi_max_err:.2e} "
             f"o1_fast_rowsharded={self.o1_fast_rowsharded_max_err:.2e} "
-            f"o2_fanout={self.o2_fanout_max_err:.2e}"
+            f"o2_fanout={self.o2_fanout_max_err:.2e} "
+            f"o2_rowsharded={self.o2_rowsharded_max_err:.2e}"
         )
 
 
@@ -251,11 +256,17 @@ def check_gradient_parity(
     # virtual CPU mesh); reported as nan otherwise.
     o1r_err = float("nan")
     o1r_scale = 1.0
+    o2r_err = float("nan")
+    o2r_scale = 1.0
     if len(jax.devices()) >= 4:
         o1r_err, o1r_scale, rs_loss_rel = _rowsharded_parity(
             emb_in, emb_out, rng, nw, L, KP, W, lr, negw
         )
         loss_rel = max(loss_rel, rs_loss_rel)
+        o2r_err, o2r_scale, o2r_loss_rel = _o2_rowsharded_parity(
+            emb_in, rng, nw, KP, lr, negw
+        )
+        loss_rel = max(loss_rel, o2r_loss_rel)
 
     passed = (
         o1_err < atol + rtol * float(np.abs(odin).max() + np.abs(odout).max())
@@ -266,11 +277,12 @@ def check_gradient_parity(
         and o1m_err < atol + rtol * o1m_scale
         and o2p_err < atol + rtol * o2p_scale
         and not (o1r_err == o1r_err and o1r_err >= atol + rtol * o1r_scale)
+        and not (o2r_err == o2r_err and o2r_err >= atol + rtol * o2r_scale)
         and loss_rel < 1e-3
     )
     return ParityReport(
         o1_err, o2_err, o3_err, loss_rel, passed, o1f_err, o2f_err,
-        o1m_err, o1r_err, o2p_err,
+        o1m_err, o1r_err, o2p_err, o2r_err,
     )
 
 
@@ -352,6 +364,89 @@ def _rowsharded_parity(emb_in, emb_out, rng, nw, L, KP, W, lr, negw):
     assert float(npairs) == o_np, (float(npairs), o_np)
     loss_rel = abs(float(loss) - o_loss) / max(abs(o_loss), 1e-9)
     return err, float(scale), loss_rel
+
+
+def _o2_rowsharded_parity(emb_in, rng, nw, KP, lr, negw):
+    """Gradient gate for the ROW-SHARDED tied paired-O2 step on a (2,2)
+    mesh (the form ShardedComETrainer._o2_rowsharded_scan runs per macro
+    step): each of the 4 workers trains its own packed edge rows against
+    its own pool through an exact (capacity = U) bucketed exchange on the
+    TIED node table; expected = table + sum over workers of
+    ((new_in - table) + (new_out - table)) from the per-worker paired
+    sequential oracle.  Returns (max_err/lr, grad_scale, loss_rel)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import shard_map
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+
+    from come_tpu.evaluation import oracle
+    from come_tpu.parallel.walk_exchange import (
+        fused_walk_step_prepped,
+        plan_walk_macro_steps,
+    )
+
+    D = M = 2
+    V, dim = emb_in.shape
+    rows_per = -(-V // M)
+    v_pad = rows_per * M
+    ei = np.pad(emb_in, ((0, v_pad - V), (0, 0)))
+    EPR = 6  # edges per row (12 slots)
+    rows = np.empty((D, M, nw, 2 * EPR), np.int32)
+    rows[..., 0::2] = rng.integers(0, V, (D, M, nw, EPR))
+    rows[..., 1::2] = rng.integers(0, V, (D, M, nw, EPR))
+    pools = rng.integers(0, V, (D, M, 1, KP)).astype(np.int32)
+
+    mesh = Mesh(
+        np.array(jax.devices()[: D * M]).reshape(D, M), ("data", "model")
+    )
+
+    def step(ns, rk, sg):
+        plans, redges, rneg, served = plan_walk_macro_steps(
+            rk[0, 0][None], sg[0, 0][None], ns.shape[0], float(M)
+        )
+        plan = jax.tree.map(lambda a: a[0], plans)
+        crows = plan.gather(ns)
+        dn, dc, loss, npairs = fused_walk_step_prepped(
+            ns, ns, crows, crows, plan, redges[0], rneg[0], lr, negw, 0,
+            window=1, interpret=True, paired=True,
+        )
+        ns = ns + jax.lax.psum(dn + dc, "data")
+        loss = jax.lax.psum(loss, ("data", "model"))
+        npairs = jax.lax.psum(npairs, ("data", "model"))
+        srv = jax.lax.pmean(served[0], ("data", "model"))
+        return ns, loss, npairs, srv
+
+    ne, loss, npairs, srv = jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P("model"), P("data", "model"), P("data", "model")),
+            out_specs=(P("model"), P(), P(), P()),
+            check_vma=False,
+        )
+    )(jnp.asarray(ei), jnp.asarray(rows), jnp.asarray(pools))
+    assert float(srv) == 1.0, float(srv)
+
+    delta = np.zeros_like(ei)
+    o_loss = 0.0
+    o_np = 0
+    for di in range(D):
+        for mi in range(M):
+            o_pi, o_po, wl, wnp = oracle.walk_banded_kernel_sequential(
+                ei, ei, rows[di, mi], pools[di, mi],
+                np.ones_like(rows[di, mi]), negw, lr, nw, paired=True,
+            )
+            delta += (o_pi - ei) + (o_po - ei)
+            o_loss += wl
+            o_np += wnp
+    exp = ei + delta
+    err = float(np.abs(np.asarray(ne) - exp).max()) / lr
+    scale = float(np.abs(delta / lr).max())
+    assert float(npairs) == o_np == rows.size, (float(npairs), o_np)
+    loss_rel = abs(float(loss) - o_loss) / max(abs(o_loss), 1e-9)
+    return err, scale, loss_rel
 
 
 def main(argv=None) -> int:

@@ -347,8 +347,8 @@ def fused_sgns_step(
         grid=(n_tiles,),
         in_specs=_common_specs(TP)
         + [
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -410,7 +410,7 @@ def fused_sgns_step_tied(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=_common_specs(TP)
-        + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -569,8 +569,8 @@ def fused_walk_sgns_step(
             pl.BlockSpec(
                 (1, 2), lambda i, _s: (0, 0), memory_space=pltpu.SMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ] + ([
             pl.BlockSpec(
                 (NWL,), lambda i, _s: (i,), memory_space=pltpu.SMEM
@@ -583,7 +583,7 @@ def fused_walk_sgns_step(
                 gen_deg.shape, lambda i, _s: (0,),
                 memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ] if gen else []),
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -381,6 +381,19 @@ class ShardedComETrainer(ComETrainer):
         )  # no silent coverage caps: bucket-overflow skips are monitorable
         return node_emb, ctx_emb, loss, npair, served
 
+    def _overlap_on(self, banded: bool) -> bool:
+        """Resolve ``cfg.overlap_exchange`` ("auto" keys off the measured
+        A/B, VERDICT r3 item 9): on TPU the prefetch rides async ICI
+        collectives behind the kernel (structural win); on CPU-virtual
+        meshes the A/B showed a win for the fused-kernel tier and a small
+        regression for the banded tier, so auto disables it there."""
+        ov = self.cfg.overlap_exchange
+        if ov != "auto":
+            return bool(ov)
+        if jax.default_backend() == "tpu":
+            return True
+        return not banded
+
     def _rowsharded_walk_shapes(self, b_local: int | None = None):
         """Static per-worker shapes for the row-sharded walk-kernel tier:
         (walks per worker, groups, negative pools)."""
@@ -539,7 +552,7 @@ class ShardedComETrainer(ComETrainer):
             words = words + jnp.float32(B_global * L)
             return ne, ce, words, loss, npairs
 
-        if cfg.overlap_exchange:
+        if self._overlap_on(banded=False):
             plan0 = jax.tree.map(lambda a: a[0], plans)
             rows_n0 = plan0.gather(p0.node_emb)
             rows_c0 = plan0.gather(p0.ctx_emb)
@@ -671,7 +684,7 @@ class ShardedComETrainer(ComETrainer):
                     walk_block=cfg.banded_walk_block,
                     capacity_slack=cfg.a2a_capacity_slack,
                     mxu_bf16=cfg.walk_kernel_bf16,
-                    overlap=cfg.overlap_exchange,
+                    overlap=self._overlap_on(banded=True),
                 )
                 served = jax.lax.pmean(served, ("data", "model"))
                 ce = params.ctx_emb  # zero-size placeholder while packed
@@ -778,6 +791,268 @@ class ShardedComETrainer(ComETrainer):
         loss = jnp.sum(losses) / jnp.maximum(npair, 1.0)
         return state, jnp.stack([loss, npair, jnp.mean(srv)])
 
+    # --------------------------------------------------- O2 under the mesh
+
+    def _o2_rows_global(self):
+        """(S, B_r): epoch steps x GLOBAL packed edge rows for the paired
+        kernel (64 edges interleaved per 128-slot row, same packing as
+        trainer/come.py::o2_epoch), with B_r a multiple of the worker
+        count so rows slice evenly over 'data' (and 'model' at M>1)."""
+        cfg = self.cfg
+        g = self.layout.data_size * self.layout.model_size
+        if not hasattr(self, "_und_u"):
+            u, v = self.graph.edges_undirected()
+            self._und_u = jnp.asarray(u, jnp.int32)
+            self._und_v = jnp.asarray(v, jnp.int32)
+        e2 = int(self._und_u.shape[0])
+        EPR = 64  # edges per 128-slot row
+        edges_step = max(EPR, min(cfg.batch_edges // 2, e2))
+        B_r = -(-edges_step // EPR)
+        # round UP to workers * NW rows: every worker gets whole 8-row
+        # kernel groups, so nothing wraps inside the kernel and the pair
+        # counter is exactly S * B_r * 128
+        from come_tpu.ops.pallas_walk_sgns import NWL
+
+        unit = g * (NWL // 128)
+        B_r = -(-B_r // unit) * unit
+        S = max(1, math.ceil(e2 / (B_r * EPR)))
+        return S, B_r
+
+    def _rowsharded_o2_shapes(self, b_r_local: int | None = None):
+        """Static per-worker shapes for the row-sharded paired-O2 tier:
+        (edge rows per worker, groups, negative pools)."""
+        from come_tpu.ops.pallas_walk_sgns import NWL
+
+        cfg = self.cfg
+        if b_r_local is None:
+            b_r_local = self._o2_rows_global()[1] // self.layout.data_size
+        b_w = max(1, b_r_local // self.layout.model_size)
+        n_groups = -(-b_w // (NWL // 128))
+        n_pools = -(-n_groups // cfg.walk_pool_refresh)
+        return b_w, n_groups, n_pools
+
+    def _use_walk_kernel_o2(self, b_r_local: int | None = None) -> bool:
+        """Paired (edge-mode) walk kernel for O2 under the mesh (VERDICT
+        r3 item 1 — the edge pass is co-equal with O1 in the paper's loop,
+        reference ``ADSCModel/node_embeddings.py::Node2Vec.train`` [R]).
+
+        model=1 (dp tier): f32 tables VMEM-resident per chip; each data
+        shard runs the paired kernel on its edge rows and the TIED delta
+        (new_in + new_out - 2*old) psums over ICI — the same sum-of-deltas
+        envelope as the dp O1 tier.
+
+        model>1 (row-sharded tier): tables stay HBM row shards; each of
+        the D*M workers gathers its step's unique endpoint rows over the
+        bucketed a2a into ONE compact table (tied: node rows only — half
+        the exchange traffic of O1) and routes dn+dc back to the owners.
+
+        The collision envelope widens by the worker count, as in
+        :meth:`_use_walk_kernel`."""
+        cfg = self.cfg
+        if cfg.pallas == "never" or cfg.negative_mode != "shared":
+            return False
+        if cfg.pallas != "always" and jax.default_backend() != "tpu":
+            return False
+        from come_tpu.ops.pallas_walk_sgns import NWL
+
+        workers = self.layout.data_size * self.layout.model_size
+        if self.layout.model_size > 1:
+            if self.row_exchange != "a2a":
+                return False
+            # compact-table VMEM gate: tied tables mean ONE [U, d] f32
+            # table per worker, U = rows*128 slots + pools*KP
+            b_w, _, n_pools = self._rowsharded_o2_shapes(b_r_local)
+            u = b_w * 128 + n_pools * cfg.shared_negatives
+            if u * cfg.dim * 4 > 48 * 1024 * 1024:
+                return False
+        else:
+            budget = getattr(self, "_vmem_budget", 48 * 1024 * 1024)
+            if self.v_pad * cfg.dim * 4 > budget:
+                return False  # f32 VMEM tier only (no SR in paired mode)
+        collisions = 2.0 * NWL * workers / max(self.graph.num_nodes, 1)
+        return collisions <= 16.0
+
+    def o2_tier(self, b_r_local: int | None = None) -> str:
+        """Which O2 path the current config/mesh selects (for logs/tests)."""
+        if self._use_walk_kernel_o2(b_r_local):
+            return (
+                "walk-kernel-paired-rowsharded"
+                if self.layout.model_size > 1
+                else "walk-kernel-paired-dp"
+            )
+        if self.cfg.negative_mode == "shared":
+            return (
+                "xla-a2a"
+                if self.row_exchange == "a2a"
+                and self.layout.model_size > 1
+                else "xla-psum"
+            )
+        return "xla-per-pair"
+
+    def _o2_rowsharded_scan(
+        self, state: TrainState, rows_all: jnp.ndarray, global_slots: int
+    ):
+        """Row-sharded paired-O2 epoch (inside shard_map; rows_all
+        [S, B_rl, 128] is this data shard's packed edge rows).
+
+        The edge rows are ALSO sliced over 'model'; each of the D*M
+        workers gathers its step's unique endpoint rows over ICI into a
+        compact TIED table (one gather — O2's tables are tied, so the
+        exchange moves half of O1's rows), runs the paired kernel, and
+        routes dn+dc back to the owners.  Exchange structure identical to
+        :meth:`_o1_rowsharded_scan`: id all-to-alls hoisted+batched before
+        the scan, row gathers double-buffered under compute when
+        ``overlap_exchange`` resolves on."""
+        from come_tpu.parallel.exchange import shift_plans
+        from come_tpu.parallel.walk_exchange import (
+            fused_walk_step_prepped,
+            plan_walk_macro_steps,
+        )
+
+        cfg = self.cfg
+        S, B_rl, Lp = rows_all.shape
+        M = self.layout.model_size
+        mi = jax.lax.axis_index("model")
+        B_w = B_rl // M
+        rows_w = jax.lax.dynamic_slice_in_dim(
+            rows_all, mi * B_w, B_w, axis=1
+        )  # [S, B_w, 128]
+        _, _, n_pools = self._rowsharded_o2_shapes(B_rl)
+        dkey = jax.random.fold_in(state.key, jax.lax.axis_index("data"))
+        dkey = jax.random.fold_in(dkey, 6007 + mi)
+        state = state.replace(key=jax.random.fold_in(state.key, 8))
+        kpool, kseed = jax.random.split(dkey)
+        sneg_all = sample_alias(
+            self.accept, self.alias, kpool,
+            (S, n_pools, cfg.shared_negatives),
+        )
+        seeds = jax.random.randint(
+            kseed, (S,), 0, 2**31 - 1, dtype=jnp.int32
+        )
+        rows_per = self.v_pad // M
+        plans, redges, rneg, served = plan_walk_macro_steps(
+            rows_w, sneg_all, rows_per, cfg.a2a_capacity_slack
+        )
+        interp = cfg.pallas == "always" and jax.default_backend() != "tpu"
+        negw = cfg.negative / cfg.shared_negatives
+        p0 = state.params
+
+        def apply(ne, words, rows, plan, re_k, rn_k, seed):
+            lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
+            # tied tables: the gathered node rows serve as BOTH kernel
+            # tables; dn + dc is the tied composition (new_in + new_out -
+            # 2*old routed through the compact slots)
+            dn, dc, loss, npairs = fused_walk_step_prepped(
+                ne, ne, rows, rows, plan, re_k, rn_k, lr * cfg.alpha,
+                negw, seed, window=1, pool_refresh=cfg.walk_pool_refresh,
+                mxu_bf16=cfg.walk_kernel_bf16, interpret=interp,
+                paired=True,
+            )
+            ne = ne + jax.lax.psum(dn + dc, "data")
+            words = words + jnp.float32(global_slots)
+            return ne, words, loss, npairs
+
+        if self._overlap_on(banded=False):
+            plan0 = jax.tree.map(lambda a: a[0], plans)
+            rows0 = plan0.gather(p0.node_emb)
+
+            def body(carry, xs):
+                ne, words, rows = carry
+                plan_cur, plan_next, re_k, rn_k, seed = xs
+                # prefetch step k+1's rows BEFORE this step's delta lands
+                nrows = plan_next.gather(ne)
+                ne, words, loss, npairs = apply(
+                    ne, words, rows, plan_cur, re_k, rn_k, seed
+                )
+                return (ne, words, nrows), (loss, npairs)
+
+            (ne, words, _), (losses, npairs) = jax.lax.scan(
+                body, (p0.node_emb, state.words_seen, rows0),
+                (plans, shift_plans(plans), redges, rneg, seeds),
+            )
+        else:
+
+            def body(carry, xs):
+                ne, words = carry
+                plan, re_k, rn_k, seed = xs
+                rows = plan.gather(ne)
+                ne, words, loss, npairs = apply(
+                    ne, words, rows, plan, re_k, rn_k, seed
+                )
+                return (ne, words), (loss, npairs)
+
+            (ne, words), (losses, npairs) = jax.lax.scan(
+                body, (p0.node_emb, state.words_seen),
+                (plans, redges, rneg, seeds),
+            )
+
+        params = p0.replace(node_emb=ne)
+        state = TrainState(params=params, key=state.key, words_seen=words)
+        npair = jax.lax.psum(jnp.sum(npairs), ("data", "model"))
+        loss = jax.lax.psum(jnp.sum(losses), ("data", "model"))
+        loss = loss / jnp.maximum(npair, 1.0)
+        srv = jax.lax.pmean(jnp.mean(served), ("data", "model"))
+        return state, jnp.stack([loss, npair, srv])
+
+    def _o2_epoch_kernel(self, state: TrainState, rows_all: jnp.ndarray):
+        """shard_map body for the kernel O2 tiers: rows_all [S, B_rl, 128]
+        is this data shard's slice of the epoch's packed edge rows (64
+        edges interleaved per row, same packing as the single-chip paired
+        path, trainer/come.py::o2_epoch)."""
+        cfg = self.cfg
+        S, B_rl, Lp = rows_all.shape
+        D = self.layout.data_size
+        global_slots = B_rl * D * Lp  # 2 trained arcs per edge = slots
+        if self.layout.model_size > 1:
+            return self._o2_rowsharded_scan(state, rows_all, global_slots)
+
+        from come_tpu.ops.pallas_walk_sgns import (
+            NWL,
+            fused_walk_sgns_step,
+        )
+
+        interp = cfg.pallas == "always" and jax.default_backend() != "tpu"
+        negw = cfg.negative / cfg.shared_negatives
+        n_groups = -(-B_rl // (NWL // Lp))
+        n_pools = -(-n_groups // cfg.walk_pool_refresh)
+
+        def body(carry, rows):
+            params, key, words = carry
+            dkey = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            key = jax.random.fold_in(key, 7)
+            kn, kp = jax.random.split(dkey)
+            lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
+            sneg = sample_alias(
+                self.accept, self.alias, kn,
+                (n_pools, cfg.shared_negatives),
+            )
+            seed = jax.random.randint(
+                kp, (), 0, 2**31 - 1, dtype=jnp.int32
+            )
+            ne0 = params.node_emb
+            new_in, new_out, loss, npairs = fused_walk_sgns_step(
+                ne0, ne0, rows, sneg, lr * cfg.alpha, negw, seed,
+                window=1, interpret=interp, reduced_window=False,
+                mxu_bf16=cfg.walk_kernel_bf16,
+                pool_refresh=cfg.walk_pool_refresh, paired=True,
+            )
+            # tied composition (single-chip: new_in + new_out - old), with
+            # the cross-shard sum riding the same psum as the dp O1 tier
+            ne = ne0 + jax.lax.psum(new_in + new_out - 2.0 * ne0, "data")
+            loss = jax.lax.psum(loss, "data")
+            npairs = jax.lax.psum(npairs, "data")
+            params = params.replace(node_emb=ne)
+            words = words + jnp.float32(global_slots)
+            return (params, key, words), (loss, npairs)
+
+        (params, key, words), (losses, npairs) = jax.lax.scan(
+            body, (state.params, state.key, state.words_seen), rows_all
+        )
+        state = TrainState(params=params, key=key, words_seen=words)
+        npair = jnp.sum(npairs)
+        loss = jnp.sum(losses) / jnp.maximum(npair, 1.0)
+        return state, jnp.stack([loss, npair, jnp.float32(1.0)])
+
     def _o2_epoch(self, state: TrainState, src: jnp.ndarray, dst: jnp.ndarray):
         cfg = self.cfg
         B_global = src.shape[1] * self.layout.data_size
@@ -839,6 +1114,16 @@ class ShardedComETrainer(ComETrainer):
                 self._o2_epoch,
                 mesh=mesh,
                 in_specs=(st, P(None, "data"), P(None, "data")),
+                out_specs=(st, P()),
+                check_vma=False,
+            ),
+            donate_argnums=0,
+        )
+        self._o2_kernel_jit = jax.jit(
+            shard_map(
+                self._o2_epoch_kernel,
+                mesh=mesh,
+                in_specs=(st, P(None, "data", None)),
                 out_specs=(st, P()),
                 check_vma=False,
             ),
@@ -1002,13 +1287,16 @@ class ShardedComETrainer(ComETrainer):
         }
 
     def _log_o1_tier(self, b_local: int) -> None:
-        tier = self.o1_tier(b_local)
-        if getattr(self, "_tier_logged", None) != tier:
-            self._tier_logged = tier
+        self._log_tier("o1", self.o1_tier(b_local))
+
+    def _log_tier(self, phase: str, tier: str) -> None:
+        attr = f"_tier_logged_{phase}"
+        if getattr(self, attr, None) != tier:
+            setattr(self, attr, tier)
             import logging
 
             logging.getLogger(__name__).info(
-                "o1 tier: %s (mesh %dx%d)", tier,
+                "%s tier: %s (mesh %dx%d)", phase, tier,
                 self.layout.data_size, self.layout.model_size,
             )
 
@@ -1025,8 +1313,24 @@ class ShardedComETrainer(ComETrainer):
     def o2_epoch(self) -> float:
         cfg = self.cfg
         lay = self.layout
-        e = self.graph.num_arcs
         D = lay.data_size
+        if cfg.negative_mode == "shared":
+            S, B_r = self._o2_rows_global()
+            if self._use_walk_kernel_o2(B_r // D):
+                EPR = 64
+                e2 = int(self._und_u.shape[0])
+                self.host_key, k = jax.random.split(self.host_key)
+                perm = jax.random.permutation(k, e2)
+                uu = jnp.resize(self._und_u[perm], (S * B_r * EPR,))
+                vv = jnp.resize(self._und_v[perm], (S * B_r * EPR,))
+                rows = jnp.stack([uu, vv], axis=1).reshape(
+                    S, B_r, 2 * EPR
+                )
+                rows = lay.shard(rows, P(None, "data", None))
+                self._log_tier("o2", self.o2_tier(B_r // D))
+                self.state, stats = self._o2_kernel_jit(self.state, rows)
+                return self._finish_o2(stats)
+        e = self.graph.num_arcs
         B = min(cfg.batch_edges, e)
         B = max(D, (B // D) * D)
         S = math.ceil(e / B)
@@ -1036,6 +1340,7 @@ class ShardedComETrainer(ComETrainer):
         dst = jnp.resize(self.arc_dst[perm], (S, B))
         src = lay.shard(src, P(None, "data"))
         dst = lay.shard(dst, P(None, "data"))
+        self._log_tier("o2", self.o2_tier(B // D))
         self.state, stats = self._o2_epoch_jit(self.state, src, dst)
         return self._finish_o2(stats)
 

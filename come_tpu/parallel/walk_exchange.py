@@ -120,6 +120,7 @@ def fused_walk_step_prepped(
     pool_refresh: int = 1,
     mxu_bf16: bool = False,
     interpret: bool = False,
+    paired: bool = False,
 ):
     """Kernel + delta routing for one PREPPED macro step.
 
@@ -127,14 +128,22 @@ def fused_walk_step_prepped(
     owned row shards (NOT yet psum'd over 'data') and the worker-local
     loss/pair count.  The delta is relative to the gathered base rows, so
     prefetched (stale) rows stay sum-of-deltas consistent.
+
+    ``paired=True`` is the O2 (edge) mode: ``rwalks`` rows carry edges
+    interleaved [u0, v0, ...] in compact slots and the kernel trains
+    exactly (u->v)+(v->u) per edge (reduced windows are meaningless —
+    disabled).  For the TIED O2 tables pass the node shard/rows as BOTH
+    the node and ctx arguments; the caller applies ``dn + dc`` to the one
+    table (the same new_in + new_out - old composition as the single-chip
+    paired path, trainer/come.py::_o2_epoch_kernel).
     """
     from come_tpu.ops.pallas_walk_sgns import fused_walk_sgns_step
 
     new_cn, new_cc, loss, npairs = fused_walk_sgns_step(
         rows_n, rows_c, rwalks, rneg, lr, negative_weight, seed,
         window=window, interpret=interpret,
-        reduced_window=not interpret,
-        mxu_bf16=mxu_bf16, pool_refresh=pool_refresh,
+        reduced_window=not interpret and not paired,
+        mxu_bf16=mxu_bf16, pool_refresh=pool_refresh, paired=paired,
     )
     dn = plan.scatter_add(jnp.zeros_like(node_shard), new_cn - rows_n)
     dc = plan.scatter_add(jnp.zeros_like(ctx_shard), new_cc - rows_c)

@@ -84,7 +84,7 @@ def test_two_process_cpu_training(tier):
     # losses are globally psum'd: both hosts must report identical values
     assert r0.split("pid=0 ")[1] == r1.split("pid=1 ")[1], (r0, r1)
     nmi = float(r0.split("nmi=")[1].split()[0])
-    assert nmi > 0.7, r0  # all three tiers reach 1.0 on this SBM
+    assert nmi >= 0.95, r0  # all three tiers reach 1.0 on this SBM
 
 
 def test_two_process_sharded_checkpoint_resume(tmp_path):

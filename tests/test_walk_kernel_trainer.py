@@ -248,6 +248,102 @@ def test_o2_kernel_gate_falls_back():
     assert np.isfinite(t2.o2_epoch())
 
 
+def _edge_sim_gap(g, emb):
+    """Mean cosine similarity of edge endpoints minus random pairs."""
+    u, v = g.edges_undirected()
+    norm = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-9)
+    rng = np.random.default_rng(0)
+    ru = rng.integers(0, g.num_nodes, len(u))
+    rv = rng.integers(0, g.num_nodes, len(u))
+    edge_sim = float(np.mean(np.sum(norm[u] * norm[v], axis=1)))
+    rand_sim = float(np.mean(np.sum(norm[ru] * norm[rv], axis=1)))
+    return edge_sim - rand_sim
+
+
+def test_o2_paired_kernel_dp_mesh():
+    """O2 through the paired kernel on a (4,1) data-parallel mesh (VERDICT
+    r3 item 1): each data shard runs the kernel on its edge rows, the TIED
+    delta (new_in + new_out - 2*old) psums over 'data', replicas stay
+    bit-identical, and quality holds (first-order proximity)."""
+    import jax
+
+    from come_tpu.parallel import ShardedComETrainer, make_mesh
+
+    g, _ = sbm_graph(512, 4, p_in=0.2, p_out=0.01, seed=3)
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    t = ShardedComETrainer(g, _cfg(alpha=1.0), mesh)
+    assert t.o2_tier() == "walk-kernel-paired-dp"
+    first = t.o2_epoch()
+    # exact counter: every packed slot (2 arcs/edge, wrapped to the row
+    # grid) is trained
+    S, B_r = t._o2_rows_global()
+    assert t.last_o2_pairs == S * B_r * 128, (t.last_o2_pairs, S, B_r)
+    losses = [t.o2_epoch() for _ in range(7)]
+    assert np.isfinite(first) and losses[-1] < first
+    shards = [
+        np.asarray(s.data)
+        for s in t.state.params.node_emb.addressable_shards
+    ]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+    assert _edge_sim_gap(g, t.embeddings()) > 0.1
+
+
+def test_o2_paired_kernel_rowsharded_trains():
+    """O2 through the ROW-SHARDED paired-kernel tier on a (2,2) mesh: edge
+    rows model-sliced, tied endpoint rows a2a-gathered into one compact
+    table per worker, dn+dc routed back to owners (VERDICT r3 item 1 —
+    O2's first mesh tier beyond the XLA micro-batched path)."""
+    import jax
+
+    from come_tpu.parallel import ShardedComETrainer, make_mesh
+
+    g, _ = sbm_graph(512, 4, p_in=0.2, p_out=0.01, seed=3)
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    t = ShardedComETrainer(g, _cfg(alpha=1.0), mesh)
+    assert t.o2_tier() == "walk-kernel-paired-rowsharded"
+    first = t.o2_epoch()
+    assert np.isfinite(first) and first < 10.0
+    assert t.last_o2_served == 1.0
+    losses = [t.o2_epoch() for _ in range(7)]
+    assert losses[-1] < first
+    # replicas of each table shard stay bit-identical across 'data'
+    by_index: dict = {}
+    for s in t.state.params.node_emb.addressable_shards:
+        key = str(s.index)
+        if key in by_index:
+            np.testing.assert_array_equal(by_index[key], np.asarray(s.data))
+        else:
+            by_index[key] = np.asarray(s.data)
+    assert len(by_index) == 2
+    assert _edge_sim_gap(g, t.embeddings()) > 0.1
+
+
+def test_o2_kernel_mesh_gates():
+    """O2 mesh tier gates: the row-sharded form needs the a2a exchange
+    (psum falls back to xla-psum), per-pair mode uses the per-pair path,
+    and a collision-bound graph falls back at mesh scale even where the
+    single-chip gate would pass."""
+    import jax
+
+    from come_tpu.parallel import ShardedComETrainer, make_mesh
+
+    g, _ = sbm_graph(512, 4, p_in=0.2, p_out=0.01, seed=3)
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    t = ShardedComETrainer(g, _cfg(row_exchange="psum"), mesh)
+    assert t.o2_tier() == "xla-psum"
+    assert np.isfinite(t.o2_epoch())
+    t2 = ShardedComETrainer(
+        g, _cfg(negative_mode="per_pair", negative=3), mesh
+    )
+    assert t2.o2_tier() == "xla-per-pair"
+    # collision envelope widens with workers: V=512 passes at 4 workers
+    # (2*1024*4/512 = 16) but an 8-worker mesh must reject (32 > 16)
+    mesh8 = make_mesh(data=4, model=2, devices=jax.devices()[:8])
+    t3 = ShardedComETrainer(g, _cfg(), mesh8)
+    assert t3.o2_tier() == "xla-a2a"
+
+
 def test_walk_kernel_dp_bf16_tables():
     """bf16-resident tables under the data-parallel mesh (VERDICT r2 item
     9): the kernel trains each shard's bf16 tables, cross-shard deltas
