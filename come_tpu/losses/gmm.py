@@ -181,6 +181,7 @@ def gmm_em_fit_sharded(
     max_iter: int = 60,
     reg_covar: float = 1e-5,
     tol: float = 1e-3,
+    data_axis: str | None = None,
 ):
     """Distributed EM, called INSIDE shard_map with rows sharded on ``axis``.
 
@@ -192,6 +193,14 @@ def gmm_em_fit_sharded(
     the best by log-likelihood wins (same selection rule as the reference's
     ``n_init``).
 
+    ``data_axis`` (VERDICT r3 item 2): when given, the EM compute is ALSO
+    partitioned over that axis — each of the D replicas of a row shard
+    works a Vl/D chunk and moments psum over BOTH axes, so the fit divides
+    by the whole mesh (16x on a v5e-16) instead of by the model axis
+    alone.  The final responsibilities still cover the full local shard
+    (row-wise normalization is local), so the output contract is
+    unchanged.
+
     Returns the same dict as :func:`gmm_em_fit` with ``resp`` holding only
     this shard's rows.
     """
@@ -199,18 +208,32 @@ def gmm_em_fit_sharded(
     X = x_shard.astype(jnp.float32)
     w = mask_shard.astype(jnp.float32)  # [Vl]
     d = X.shape[1]
-    n_total = jax.lax.psum(jnp.sum(w), axis)
+    vl = X.shape[0]
+    axes = (axis,) if data_axis is None else (axis, data_axis)
+    if data_axis is not None:
+        # compute view: this data replica's chunk of the row shard (zero-
+        # padded so chunks are equal — pad rows carry zero weight)
+        D = jax.lax.axis_size(data_axis)
+        chunk = -(-vl // D)
+        di = jax.lax.axis_index(data_axis)
+        Xp = jnp.pad(X, ((0, chunk * D - vl), (0, 0)))
+        wp = jnp.pad(w, (0, chunk * D - vl))
+        Xc = jax.lax.dynamic_slice_in_dim(Xp, di * chunk, chunk)
+        wc = jax.lax.dynamic_slice_in_dim(wp, di * chunk, chunk)
+    else:
+        Xc, wc = X, w
+    n_total = jax.lax.psum(jnp.sum(wc), axes)
 
     def m_step(resp):
-        resp = resp * w[:, None]
-        nk = jax.lax.psum(jnp.sum(resp, axis=0), axis) + 10.0 * jnp.finfo(
+        resp = resp * wc[:, None]
+        nk = jax.lax.psum(jnp.sum(resp, axis=0), axes) + 10.0 * jnp.finfo(
             jnp.float32
         ).eps
-        means = jax.lax.psum(resp.T @ X, axis) / nk[:, None]
-        diff = X[None, :, :] - means[:, None, :]  # [K, Vl, d]
+        means = jax.lax.psum(resp.T @ Xc, axes) / nk[:, None]
+        diff = Xc[None, :, :] - means[:, None, :]  # [K, chunk, d]
         cov = (
             jax.lax.psum(
-                jnp.einsum("nk,knd,kne->kde", resp, diff, diff), axis
+                jnp.einsum("nk,knd,kne->kde", resp, diff, diff), axes
             )
             / nk[:, None, None]
         )
@@ -218,15 +241,16 @@ def gmm_em_fit_sharded(
         return means, jax.lax.linalg.cholesky(cov), jnp.log(nk / n_total)
 
     def e_step(means, chol, log_w):
-        lp = _log_prob(X, means, chol) + log_w[None, :]
+        lp = _log_prob(Xc, means, chol) + log_w[None, :]
         norm = jax.scipy.special.logsumexp(lp, axis=1, keepdims=True)
-        ll = jax.lax.psum(jnp.sum(norm[:, 0] * w), axis) / n_total
+        ll = jax.lax.psum(jnp.sum(norm[:, 0] * wc), axes) / n_total
         return jnp.exp(lp - norm), ll
 
     def init_resp(k):
-        # shared-random global center choice: every shard samples the same
-        # K global row ids, then contributes its owned rows via psum
-        vl = X.shape[0]
+        # shared-random global center choice: every worker samples the
+        # same K global row ids, then contributes its owned rows via psum.
+        # Global id space = model-shard-major over the UNCHUNKED rows, so
+        # the draw is identical with and without a data axis.
         m = jax.lax.axis_size(axis)
         # stratified draw: one center per stride of rows -> always distinct
         stride = jnp.maximum((vl * m) // K, 1)
@@ -237,32 +261,46 @@ def gmm_em_fit_sharded(
         my = jax.lax.axis_index(axis)
         local = idx - my * vl
         ok = (local >= 0) & (local < vl)
+        if data_axis is not None:
+            # ownership narrows to this replica's chunk of the shard
+            D = jax.lax.axis_size(data_axis)
+            chunk = -(-vl // D)
+            di = jax.lax.axis_index(data_axis)
+            local = local - di * chunk
+            ok = ok & (local >= 0) & (local < chunk)
         centers = jnp.where(
-            ok[:, None], X[jnp.clip(local, 0, vl - 1)], 0.0
+            ok[:, None], Xc[jnp.clip(local, 0, Xc.shape[0] - 1)], 0.0
         )
-        centers = jax.lax.psum(centers, axis)
+        centers = jax.lax.psum(centers, axes)
 
         def lloyd(c, _):
             d2 = (
-                jnp.sum(X * X, 1, keepdims=True)
-                - 2.0 * X @ c.T
+                jnp.sum(Xc * Xc, 1, keepdims=True)
+                - 2.0 * Xc @ c.T
                 + jnp.sum(c * c, 1)[None]
             )
             assign = jnp.argmin(d2, axis=1)
-            onehot = jax.nn.one_hot(assign, K, dtype=jnp.float32) * w[:, None]
-            counts = jax.lax.psum(jnp.sum(onehot, 0), axis)
-            new = jax.lax.psum(onehot.T @ X, axis) / jnp.maximum(
+            onehot = jax.nn.one_hot(assign, K, dtype=jnp.float32) * wc[:, None]
+            counts = jax.lax.psum(jnp.sum(onehot, 0), axes)
+            new = jax.lax.psum(onehot.T @ Xc, axes) / jnp.maximum(
                 counts, 1.0
             )[:, None]
             return jnp.where(counts[:, None] > 0, new, c), None
 
         centers, _ = jax.lax.scan(lloyd, centers, None, length=8)
         d2 = (
-            jnp.sum(X * X, 1, keepdims=True)
-            - 2.0 * X @ centers.T
+            jnp.sum(Xc * Xc, 1, keepdims=True)
+            - 2.0 * Xc @ centers.T
             + jnp.sum(centers * centers, 1)[None]
         )
         return jax.nn.one_hot(jnp.argmin(d2, axis=1), K, dtype=jnp.float32)
+
+    def full_resp(means, chol, log_w):
+        # responsibilities for the FULL local shard (row-wise normalization
+        # is local — no communication), regardless of the compute chunking
+        lp = _log_prob(X, means, chol) + log_w[None, :]
+        norm = jax.scipy.special.logsumexp(lp, axis=1, keepdims=True)
+        return jnp.exp(lp - norm)
 
     def one_fit(carry, k):
         means, chol, log_w = m_step(init_resp(k))
@@ -271,7 +309,8 @@ def gmm_em_fit_sharded(
         means, chol, log_w = _em_while_loop(
             means, chol, log_w, e_step, m_step, max_iter, tol
         )
-        resp, ll = e_step(means, chol, log_w)
+        _, ll = e_step(means, chol, log_w)
+        resp = full_resp(means, chol, log_w)
         best_ll, best = carry
         take = ll > best_ll
         best = jax.tree_util.tree_map(

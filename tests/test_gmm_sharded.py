@@ -51,6 +51,76 @@ def test_sharded_em_recovers_blobs(rng):
     assert float(ll) > float(ref["log_likelihood"]) - 0.1
 
 
+def test_sharded_em_both_axes_recovers_blobs(rng):
+    """EM partitioned over BOTH mesh axes (VERDICT r3 item 2): each data
+    replica works a chunk of its model shard, moments psum over the whole
+    mesh.  Must recover the blobs and match the model-axis-only fit's
+    likelihood (same init draw — the global center id space is chunking-
+    independent)."""
+    mesh = make_mesh(data=4, model=2)
+    X, labels = _blobs(rng)  # 128 rows: model shards 64, chunks 16
+    mask = np.ones(len(X), np.float32)
+
+    def body(x, m, key):
+        out = gmm_em_fit_sharded(x, m, 2, key, axis="model", n_init=2,
+                                 max_iter=30, reg_covar=1e-4,
+                                 data_axis="data")
+        return out["resp"], out["means"], out["log_likelihood"]
+
+    resp, means, ll = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P("model", None), P("model"), P()),
+            out_specs=(P("model", None), P(), P()),
+            check_vma=False,
+        )
+    )(jnp.asarray(X), jnp.asarray(mask), jax.random.key(0))
+
+    pred = np.asarray(resp).argmax(1)
+    from sklearn.metrics import normalized_mutual_info_score
+
+    assert normalized_mutual_info_score(labels, pred) > 0.95
+    ref = gmm_em_fit(jnp.asarray(X), 2, jax.random.key(0), n_init=2,
+                     max_iter=30, reg_covar=1e-4)
+    assert float(ll) > float(ref["log_likelihood"]) - 0.1
+
+
+def test_sharded_em_both_axes_uneven_chunks(rng):
+    """Vl not divisible by the data axis: zero-weight chunk padding must
+    not perturb the fit (moments identical to the model-axis-only run up
+    to reduction order)."""
+    mesh = make_mesh(data=4, model=2)
+    X, labels = _blobs(rng, n_per=61)  # 122 rows -> model shards of 61,
+    mask = np.ones(len(X), np.float32)  # chunks of 16 with 3 pad rows
+
+    def body(dax, x, m, key):
+        out = gmm_em_fit_sharded(x, m, 2, key, axis="model", n_init=1,
+                                 max_iter=30, reg_covar=1e-4,
+                                 data_axis=dax)
+        return out["means"], out["log_likelihood"]
+
+    def run(dax):
+        import functools
+
+        return jax.jit(
+            jax.shard_map(
+                functools.partial(body, dax),
+                mesh=mesh,
+                in_specs=(P("model", None), P("model"), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+        )(jnp.asarray(X), jnp.asarray(mask), jax.random.key(2))
+
+    means_b, ll_b = run("data")
+    means_m, ll_m = run(None)
+    np.testing.assert_allclose(
+        np.asarray(means_b), np.asarray(means_m), atol=1e-3
+    )
+    assert abs(float(ll_b) - float(ll_m)) < 1e-3
+
+
 def test_sharded_em_masks_pad_rows(rng):
     mesh = make_mesh(data=2, model=4)
     X, labels = _blobs(rng, n_per=62)  # 124 rows -> pad 4 to 128
