@@ -48,6 +48,10 @@ SOURCES = {
         "dest": DATA / "BlogCatalog" / "blogcatalog.mat",
         "nodes": 10312,
         "communities": 39,
+        # published edge count (Tang & Liu, social-dimension datasets):
+        # 333,983 undirected edges; the .mat adjacency stores either E
+        # (triangular) or 2E (symmetric) nonzeros
+        "edges": 333983,
     },
     "flickr": {
         "urls": [
@@ -56,6 +60,7 @@ SOURCES = {
         "dest": DATA / "Flickr" / "flickr.mat",
         "nodes": 80513,
         "communities": 195,
+        "edges": 5899882,  # published (social-dimension datasets)
     },
     "wikipedia": {
         "urls": [
@@ -64,6 +69,7 @@ SOURCES = {
         "dest": DATA / "Wikipedia" / "wikipedia.mat",
         "nodes": 4777,
         "communities": 40,
+        "edges": 184812,  # published (node2vec POS co-occurrence graph)
     },
     "dblp": {
         "urls": [
@@ -85,7 +91,12 @@ def _sha256(path: pathlib.Path) -> str:
     return h.hexdigest()
 
 
-def _validate_mat(path: pathlib.Path, nodes: int, communities: int) -> None:
+def _validate_mat(
+    path: pathlib.Path,
+    nodes: int,
+    communities: int,
+    edges: int | None = None,
+) -> None:
     from scipy.io import loadmat
     from scipy.sparse import issparse
 
@@ -95,10 +106,28 @@ def _validate_mat(path: pathlib.Path, nodes: int, communities: int) -> None:
     assert net.shape == (nodes, nodes), f"network shape {net.shape}"
     c = grp.shape[1]
     assert c == communities, f"group has {c} communities, want {communities}"
+    if edges is not None:
+        # the adjacency may store E (triangular) or 2E (symmetric) nnz;
+        # either way it must match the PUBLISHED edge count exactly —
+        # structure-only validation would pass a truncated or substituted
+        # graph of the right shape (VERDICT r3 item 4)
+        nnz = int(net.nnz)
+        assert nnz in (edges, 2 * edges), (
+            f"network has {nnz} nonzeros; published edge count {edges} "
+            f"implies {edges} or {2 * edges}"
+        )
 
 
-def _fetch(name: str, spec: dict, timeout: float, sums: dict) -> str:
+def _fetch(
+    name: str, spec: dict, timeout: float, sums: dict,
+    require_pinned: bool = False,
+) -> str:
     dest: pathlib.Path = spec["dest"]
+    if require_pinned and name not in sums:
+        raise RuntimeError(
+            f"{name}: --require-pinned set but checksums.json has no hash "
+            f"for it — add a known-good sha256 first"
+        )
     if dest.exists():
         # integrity contract applies to pre-existing files too: a stale or
         # substituted file must not silently pass on structure alone
@@ -110,7 +139,9 @@ def _fetch(name: str, spec: dict, timeout: float, sums: dict) -> str:
                     f"checksums.json has {sums[name]}) — delete "
                     f"{dest} and re-fetch"
                 )
-        _validate_mat(dest, spec["nodes"], spec["communities"])
+        _validate_mat(
+            dest, spec["nodes"], spec["communities"], spec.get("edges")
+        )
         return f"{name}: already present ({dest.relative_to(REPO)}) — valid"
     import urllib.error
     import urllib.request
@@ -137,7 +168,10 @@ def _fetch(name: str, spec: dict, timeout: float, sums: dict) -> str:
                 f"checksums.json has {sums[name]}) — refusing"
             )
         try:
-            _validate_mat(tmppath, spec["nodes"], spec["communities"])
+            _validate_mat(
+                tmppath, spec["nodes"], spec["communities"],
+                spec.get("edges"),
+            )
         except Exception as e:
             tmppath.unlink()
             raise RuntimeError(f"{name}: downloaded file invalid: {e}")
@@ -152,6 +186,11 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--only", choices=sorted(SOURCES), default=None)
     p.add_argument("--timeout", type=float, default=30.0)
+    p.add_argument(
+        "--require-pinned", action="store_true",
+        help="refuse trust-on-first-use: every dataset must already have "
+        "a sha256 in checksums.json (for provenance-controlled hosts)",
+    )
     args = p.parse_args(argv)
 
     sums = {}
@@ -159,7 +198,8 @@ def main(argv=None) -> int:
         sums = json.loads(CHECKSUMS.read_text())
     names = [args.only] if args.only else sorted(SOURCES)
     for name in names:
-        print(_fetch(name, SOURCES[name], args.timeout, sums))
+        print(_fetch(name, SOURCES[name], args.timeout, sums,
+                     args.require_pinned))
     CHECKSUMS.parent.mkdir(parents=True, exist_ok=True)
     CHECKSUMS.write_text(json.dumps(sums, indent=2, sort_keys=True) + "\n")
     return 0

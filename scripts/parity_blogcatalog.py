@@ -16,6 +16,13 @@ What it runs, once the data exists:
      BlogCatalog band (macro-F1 ~0.25, micro-F1 ~0.40 at 50% train; CIKM
      2017 Table 3) — the same numbers the Cython reference reproduces.
 
+NOTE this bar is a PAPER-BAND PROXY, not a side-by-side A/B against the
+Cython reference: the reference implementation is not available in this
+build environment, so the published band (minus a reproducibility margin)
+stands in for it.  If the reference code is ever present, a true A/B —
+same walks, same LR schedule, NMI/F1 deltas — is the stronger bar and
+should replace this proxy.
+
 Exit 0 = parity PASS; 1 = ran but below the band; 2 = gradient gate failed.
 """
 

@@ -170,3 +170,37 @@ def test_fixture_trains_end_to_end():
     assert last < first
     t.fit_gmm()
     assert nmi_score(labels, t.communities()) > 0.3
+
+
+def test_fetch_validator_checks_edge_counts(tmp_path):
+    """fetch_data's .mat validator must reject a graph whose shape matches
+    the published V/C but whose nonzero count disagrees with the published
+    edge count (VERDICT r3 item 4: structure-only validation would pass a
+    truncated or substituted file)."""
+    import sys
+    from pathlib import Path
+
+    import scipy.io as sio
+    import scipy.sparse as sp
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    from fetch_data import _validate_mat
+
+    V, C, E = 40, 3, 30
+    rng = np.random.default_rng(0)
+    u = rng.integers(0, V, E)
+    v = (u + 1 + rng.integers(0, V - 1, E)) % V
+    net = sp.coo_matrix(
+        (np.ones(2 * E), (np.r_[u, v], np.r_[v, u])), shape=(V, V)
+    ).tocsc()
+    net.sum_duplicates()
+    nnz_edges = net.nnz // 2  # duplicates merged: actual undirected count
+    grp = sp.coo_matrix(np.ones((V, C))).tocsc()
+    good = tmp_path / "good.mat"
+    sio.savemat(good, {"network": net, "group": grp})
+    _validate_mat(good, V, C, nnz_edges)  # symmetric 2E nnz accepted
+    _validate_mat(good, V, C, None)  # no published count: structural only
+    with pytest.raises(AssertionError, match="nonzeros"):
+        _validate_mat(good, V, C, nnz_edges + 5)
+    with pytest.raises(AssertionError, match="shape"):
+        _validate_mat(good, V + 1, C, nnz_edges)
