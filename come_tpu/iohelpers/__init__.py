@@ -6,6 +6,8 @@ from come_tpu.iohelpers.persist import (
     load_host_key,
     save_checkpoint_sharded,
     load_checkpoint_sharded,
+    load_checkpoint_global,
+    load_checkpoint_meta,
 )
 
 __all__ = [
@@ -16,4 +18,6 @@ __all__ = [
     "load_host_key",
     "save_checkpoint_sharded",
     "load_checkpoint_sharded",
+    "load_checkpoint_global",
+    "load_checkpoint_meta",
 ]

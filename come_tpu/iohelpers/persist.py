@@ -120,7 +120,9 @@ def _row_start(idx) -> int:
     return int(idx[0].start)
 
 
-def save_checkpoint_sharded(path: str | Path, state, host_key=None) -> None:
+def save_checkpoint_sharded(
+    path: str | Path, state, host_key=None, meta: dict | None = None
+) -> None:
     """Multi-host-safe checkpoint: each process writes ONE npz holding only
     its ADDRESSABLE shards (no host gather of non-addressable arrays — the
     failure mode of :func:`save_checkpoint` on a multi-host mesh,
@@ -133,11 +135,19 @@ def save_checkpoint_sharded(path: str | Path, state, host_key=None) -> None:
     ``jax.make_array_from_callback``, which asks each process only for the
     shards it owns — the same ones it saved, so no cross-process IO.
 
+    ``meta``: int-valued topology metadata (mesh shape, real node count)
+    stored as ``_meta.<key>`` entries — what the ELASTIC restore path
+    (:func:`load_checkpoint_global` + the trainer's reshard-on-restore)
+    needs to rebuild the logical state under a different topology
+    (VERDICT r3 item 7).
+
     Files are ``<path>.proc<i>.npz``, written atomically.  Replaces the
     reference's per-iteration ``Model.save`` pickle (SURVEY.md C10) for
     sharded runs.
     """
     payload: dict = {"_process_count": np.int64(jax.process_count())}
+    for k, v in (meta or {}).items():
+        payload[f"_meta.{k}"] = np.int64(v)
     if host_key is not None:
         payload["host_key"] = np.asarray(jax.random.key_data(host_key))
     for name, x in _state_leaves(state).items():
@@ -174,7 +184,24 @@ def load_checkpoint_sharded(path: str | Path, layout):
     if saved_procs != jax.process_count():
         raise ValueError(
             f"checkpoint saved with {saved_procs} processes, "
-            f"running with {jax.process_count()}"
+            f"running with {jax.process_count()} — use the trainer's "
+            f"elastic restore (load_checkpoint resharding via "
+            f"load_checkpoint_global)"
+        )
+    saved_mesh = (
+        int(z["_meta.data"]) if "_meta.data" in z.files else None,
+        int(z["_meta.model"]) if "_meta.model" in z.files else None,
+    )
+    if saved_mesh[1] is not None and (
+        saved_mesh != (layout.data_size, layout.model_size)
+    ):
+        # same process count but a different mesh shape would previously
+        # restore SILENTLY WRONG rows (the a2a interleave depends on the
+        # model-axis size) — refuse and point at the elastic path
+        raise ValueError(
+            f"checkpoint saved on a {saved_mesh} mesh, restoring onto "
+            f"({layout.data_size}, {layout.model_size}) — use the "
+            f"trainer's elastic restore"
         )
     specs = layout.params_specs()
 
@@ -211,6 +238,81 @@ def load_checkpoint_sharded(path: str | Path, layout):
         key=key,
         words_seen=restore("words_seen", P()),
     )
+
+
+def load_checkpoint_meta(path: str | Path) -> dict:
+    """Topology metadata of a sharded checkpoint: the ``_meta.*`` ints plus
+    ``process_count``.  Empty dict for pre-metadata checkpoints."""
+    p = _proc_path(path, 0)
+    if not p.exists():
+        return {}
+    z = np.load(p)
+    meta = {}
+    for k in z.files:
+        if k.startswith("_meta."):
+            meta[k[len("_meta."):]] = int(z[k])
+    if "_process_count" in z.files:
+        meta["process_count"] = int(z["_process_count"])
+    return meta
+
+
+def load_checkpoint_global(path: str | Path):
+    """Merge ALL per-process shard files of a sharded checkpoint into
+    host-global numpy arrays — the first half of the ELASTIC restore path
+    (VERDICT r3 item 7: topology may change between save and restore).
+
+    Requires every ``<path>.proc<i>.npz`` to be visible on this host (a
+    shared filesystem, or files copied together).  Row-sharded leaves are
+    reassembled from their ``<name>@<row_start>`` blocks with full-coverage
+    verification; replicated leaves are taken from any file.
+
+    Returns ``(leaves, meta)``: ``leaves`` maps each state leaf name to a
+    global np.ndarray, ``meta`` is :func:`load_checkpoint_meta`'s dict.
+    """
+    path = Path(path)
+    files = sorted(
+        path.parent.glob(path.name + ".proc*.npz"),
+        key=lambda p: int(p.name.rsplit(".proc", 1)[1][:-4]),
+    )
+    if not files:
+        raise FileNotFoundError(f"no {path.name}.proc*.npz files")
+    saved_procs = int(np.load(files[0])["_process_count"])
+    if len(files) != saved_procs:
+        raise ValueError(
+            f"checkpoint saved by {saved_procs} processes but only "
+            f"{len(files)} .proc files present — elastic restore needs "
+            f"all of them on one filesystem"
+        )
+    leaves: dict = {}
+    shapes: dict = {}
+    blocks: dict = {}
+    meta = load_checkpoint_meta(path)
+    for f in files:
+        z = np.load(f)
+        for k in z.files:
+            if k.startswith("_meta.") or k in ("_process_count", "host_key"):
+                continue
+            if k.endswith(".shape"):
+                shapes[k[: -len(".shape")]] = tuple(int(v) for v in z[k])
+            elif "@" in k:
+                name, start = k.rsplit("@", 1)
+                blocks.setdefault(name, {})[int(start)] = z[k]
+            else:
+                leaves[k] = z[k]
+    for name, bl in blocks.items():
+        shape = shapes[name]
+        first = next(iter(bl.values()))
+        out = np.zeros(shape, first.dtype)
+        covered = 0
+        for start, b in bl.items():
+            out[start : start + b.shape[0]] = b
+            covered += b.shape[0]
+        if covered != shape[0]:
+            raise ValueError(
+                f"{name}: merged blocks cover {covered} of {shape[0]} rows"
+            )
+        leaves[name] = out
+    return leaves, meta
 
 
 def load_checkpoint(path: str | Path):
