@@ -72,12 +72,22 @@ class HostWalkFeeder:
         restart_prob: float = 0.0,
         prefetch: int = 2,
         num_threads: int | None = None,
+        nodes: np.ndarray | None = None,
     ):
         self.graph = graph
         self.batch = batch
         self.length = length
         self.restart_prob = restart_prob
         self.num_threads = num_threads
+        # start-node pool: the full graph by default; a subset for
+        # per-process feeders under a mesh (each process walks only its
+        # data rows' slice of the node range — reference C3's per-worker
+        # walk files)
+        self._nodes = (
+            np.arange(graph.num_nodes, dtype=np.int32)
+            if nodes is None
+            else np.asarray(nodes, np.int32)
+        )
         self._q: Queue = Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._seed = seed
@@ -87,16 +97,16 @@ class HostWalkFeeder:
 
     def _produce(self):
         epoch = 0
-        v = self.graph.num_nodes
+        v = len(self._nodes)
         while not self._stop.is_set():
-            perm = self._rng.permutation(v).astype(np.int32)
+            perm = self._rng.permutation(self._nodes)
             for ofs in range(0, v, self.batch):
                 if self._stop.is_set():
                     return
                 starts = perm[ofs : ofs + self.batch]
                 if len(starts) < self.batch:  # wrap the tail
-                    starts = np.concatenate(
-                        [starts, perm[: self.batch - len(starts)]]
+                    starts = np.resize(
+                        np.concatenate([starts, perm]), self.batch
                     )
                 walks = host_random_walks(
                     self.graph,

@@ -605,6 +605,25 @@ class ShardedComETrainer(ComETrainer):
         cfg = self.cfg
         # this runs INSIDE shard_map: start_perm is already the local slice
         S, B_local = start_perm.shape
+        # whole-epoch walk generation in one batched call (see the base
+        # trainer: the walker is dispatch-latency bound, so one wide scan
+        # costs ~one narrow scan); decorrelated across data shards
+        kw_all = jax.random.fold_in(
+            jax.random.fold_in(state.key, 11), jax.lax.axis_index("data")
+        )
+        state = state.replace(key=jax.random.fold_in(state.key, 12))
+        walks_all = random_walks(
+            self.csr, start_perm.reshape(S * B_local), cfg.walk_length,
+            kw_all, restart_prob=cfg.restart_prob,
+        ).reshape(S, B_local, cfg.walk_length)
+        return self._o1_from_walks(state, walks_all)
+
+    def _o1_from_walks(self, state: TrainState, walks_all: jnp.ndarray):
+        """shard_map body: walks_all [S, B_local, L] is this data shard's
+        corpus (device-generated by :meth:`_o1_epoch`, or host-fed by
+        :meth:`_o1_epoch_host` one macro batch at a time)."""
+        cfg = self.cfg
+        S, B_local, _L = walks_all.shape
         B_global = B_local * self.layout.data_size
         use_walk_kernel = self._use_walk_kernel(B_local)
         rowsharded = use_walk_kernel and self.layout.model_size > 1
@@ -636,18 +655,6 @@ class ShardedComETrainer(ComETrainer):
                 node_emb=pack_tables(p.node_emb, p.ctx_emb),
                 ctx_emb=jnp.zeros((0, 0), p.ctx_emb.dtype),
             ))
-
-        # whole-epoch walk generation in one batched call (see the base
-        # trainer: the walker is dispatch-latency bound, so one wide scan
-        # costs ~one narrow scan); decorrelated across data shards
-        kw_all = jax.random.fold_in(
-            jax.random.fold_in(state.key, 11), jax.lax.axis_index("data")
-        )
-        state = state.replace(key=jax.random.fold_in(state.key, 12))
-        walks_all = random_walks(
-            self.csr, start_perm.reshape(S * B_local), cfg.walk_length,
-            kw_all, restart_prob=cfg.restart_prob,
-        ).reshape(S, B_local, cfg.walk_length)
 
         if rowsharded:
             return self._o1_rowsharded_scan(state, walks_all, B_global)
@@ -1109,6 +1116,16 @@ class ShardedComETrainer(ComETrainer):
             ),
             donate_argnums=0,
         )
+        self._o1_walks_jit = jax.jit(
+            shard_map(
+                self._o1_from_walks,
+                mesh=mesh,
+                in_specs=(st, P(None, "data", None)),
+                out_specs=(st, P()),
+                check_vma=False,
+            ),
+            donate_argnums=0,
+        )
         self._o2_epoch_jit = jax.jit(
             shard_map(
                 self._o2_epoch,
@@ -1201,9 +1218,84 @@ class ShardedComETrainer(ComETrainer):
 
     # ------------------------------------------------------------ host driver
 
+    def _data_rows_local(self):
+        """(row indices of the 'data' axis with addressable devices,
+        total data rows): which slices of a P('data')-sharded batch this
+        PROCESS must supply.  Processes that share data rows (model-axis
+        splits) see the same row set and must supply identical values."""
+        mesh = self.layout.mesh
+        pi = jax.process_index()
+        local = np.array(
+            [[d.process_index == pi for d in row] for row in mesh.devices]
+        )
+        rows = np.nonzero(local.any(axis=1))[0]
+        return rows, mesh.devices.shape[0]
+
+    def _shard_local_batch(self, local: np.ndarray, spec: P):
+        """Place a PER-PROCESS host batch block on the mesh (axis of the
+        spec's first sharded dim concatenates over processes).  Single
+        process: plain shard."""
+        if jax.process_count() == 1:
+            return self.layout.shard(local, spec)
+        from jax.sharding import NamedSharding
+
+        sharding = NamedSharding(self.layout.mesh, spec)
+        return jax.make_array_from_process_local_data(sharding, local)
+
+    def _o1_epoch_host(self) -> float:
+        """Host-corpus O1 epoch under the mesh (VERDICT r3 item 6): ONE
+        C++ feeder per process generates walks for exactly the data rows
+        this process owns (reference C3's per-worker walk writers [R] —
+        each worker fills its own shard of the corpus), double-buffered
+        under the device's training of the previous batch.
+
+        Start-node coverage: the global node range is split over the D
+        data rows; each process's feeder permutes its rows' slice, so an
+        epoch covers every node ~walks_per_node times like the device
+        corpus.  Feeder seeds key off the first owned data row, so
+        model-axis process splits (which SHARE data rows and must supply
+        identical replica values) generate identical batches.
+        """
+        from come_tpu.native import HostWalkFeeder
+
+        cfg = self.cfg
+        lay = self.layout
+        v = self.v_real
+        D = lay.data_size
+        g = D * lay.model_size
+        B = min(cfg.batch_walks, v * cfg.walks_per_node)
+        B = max(g, (B // g) * g)
+        n_batches = math.ceil(v * cfg.walks_per_node / B)
+        rows, _ = self._data_rows_local()
+        if self._host_feeder is None:
+            splits = np.array_split(np.arange(v, dtype=np.int32), D)
+            nodes = np.concatenate([splits[r] for r in rows])
+            self._host_feeder = HostWalkFeeder(
+                self.graph,
+                batch=(B // D) * len(rows),
+                length=cfg.walk_length,
+                seed=cfg.seed + 7919 * int(rows[0]),
+                restart_prob=cfg.restart_prob,
+                nodes=nodes,
+            )
+        self._log_o1_tier(B // D)
+        stats = []
+        for _ in range(n_batches):
+            walks = next(self._host_feeder)[None]  # [1, B_proc, L]
+            wb = self._shard_local_batch(walks, P(None, "data", None))
+            self.state, st = self._o1_walks_jit(self.state, wb)
+            stats.append(st)  # device values: no per-batch sync
+        tot = np.asarray(jnp.sum(jnp.stack(stats), axis=0))
+        self.last_o1_pairs = float(tot[1])
+        self.last_o1_served = float(tot[2]) / n_batches
+        self._warn_unserved("o1", self.last_o1_served)
+        return float(tot[0]) / n_batches
+
     def o1_epoch(self) -> float:
         cfg = self.cfg
         lay = self.layout
+        if cfg.corpus == "host":
+            return self._o1_epoch_host()
         v = self.v_real
         D = lay.data_size
         # walk batches divide over 'data'; the row-sharded walk-kernel tier

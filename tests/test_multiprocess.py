@@ -74,7 +74,9 @@ def _result_line(out: str) -> str:
 
 
 @pytest.mark.parametrize(
-    "tier", ["xla-a2a", "banded-rowsharded", "walk-kernel-rowsharded"]
+    "tier",
+    ["xla-a2a", "banded-rowsharded", "walk-kernel-rowsharded",
+     "host-corpus"],
 )
 def test_two_process_cpu_training(tier):
     procs, outs = _launch(tier)
