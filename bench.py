@@ -112,6 +112,10 @@ def main() -> None:
         batch_walks=2048,
         batch_pairs=131072,
         walks_per_node=2,
+        # measured sweep (round 4): the paired-O2 kernel peaks at 64k
+        # edges per macro step (25.2 M vs 22.3 M at the 32k default) —
+        # fewer scan steps amortize the tied-table composition
+        batch_edges=131072,
     )
 
     # ---- headline: cached corpus (walks generated once, reference

@@ -228,8 +228,11 @@ def _walk_kernel(
         jax.lax.fori_loop(0, KP, g, 0)
         dneg_ref[:, :] = jnp.zeros_like(dneg_ref)
 
-    # ---- stage this group's rows (row ops amortized over ~L*(W+1) pairs)
-    U = 8
+    # ---- stage this group's rows (row ops amortized over ~L*(W+1) pairs).
+    # U = row-ops per fori_loop iteration; swept on v5e (round 4):
+    # 8 -> 238-245 M, 16 -> 242 M, 32 -> 246-247 M, 64 -> 237 M — 32 sits
+    # at the top of the noise band without regressing any mode.
+    U = 32
 
     def gather(tu, _):
         base = tu * U
