@@ -302,6 +302,11 @@ def load_checkpoint_global(path: str | Path):
     for name, bl in blocks.items():
         shape = shapes[name]
         first = next(iter(bl.values()))
+        if 0 in bl and tuple(bl[0].shape) == tuple(shape):
+            # replicated leaf saved as one whole block (scalars / RNG key
+            # on a multi-process mesh are global but not fully addressable)
+            leaves[name] = bl[0]
+            continue
         out = np.zeros(shape, first.dtype)
         covered = 0
         for start, b in bl.items():

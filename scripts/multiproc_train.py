@@ -150,7 +150,17 @@ def main(argv=None) -> int:
             np.testing.assert_array_equal(
                 np.asarray(sa.data), np.asarray(sb.data)
             )
-        ckpt = " ckpt=ok"
+        # logical-embedding fingerprint of the SAVED state (t2 == the
+        # restored state, before the extra epoch above ran on t2? both
+        # trained one epoch after restore — recompute from a fresh load)
+        t3 = ShardedComETrainer(g, cfg, mesh)
+        t3.load_checkpoint(path)
+        import hashlib
+
+        h = hashlib.sha256(
+            np.ascontiguousarray(t3.embeddings()).tobytes()
+        ).hexdigest()[:16]
+        ckpt = f" ckpt=ok embhash={h}"
 
     ab = ""
     if args.overlap_ab and t.layout.model_size > 1:

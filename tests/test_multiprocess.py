@@ -102,3 +102,33 @@ def test_two_process_sharded_checkpoint_resume(tmp_path):
     # one shard file per process, none missing
     files = sorted(f.name for f in tmp_path.iterdir())
     assert files == ["state.proc0.npz", "state.proc1.npz"], files
+
+    # ELASTIC restore across a real PROCESS-COUNT change (VERDICT r3 item
+    # 7): load the 2-process checkpoint in THIS single process (its own
+    # (2,2) mesh over virtual devices) — the merged logical state must
+    # match the saving run's embedding fingerprint bit-for-bit
+    import hashlib
+
+    import jax
+    import numpy as np
+
+    from come_tpu.config import ComEConfig
+    from come_tpu.graphs import sbm_graph
+    from come_tpu.parallel import ShardedComETrainer, make_mesh
+
+    want = _result_line(outs[0]).split("embhash=")[1].split()[0]
+    g, _ = sbm_graph(256, 4, p_in=0.25, p_out=0.01, seed=7)
+    cfg = ComEConfig(
+        dim=32, num_communities=4, walk_length=16, walks_per_node=2,
+        window=4, negative_mode="shared", shared_negatives=64,
+        pallas="never", banded="never", row_exchange="a2a",
+        batch_walks=32, batch_edges=1024, batch_pairs=2048,
+        outer_iters=0, pretrain_epochs=10, gmm_max_iter=15, reg_covar=1e-2,
+    )
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    t = ShardedComETrainer(g, cfg, mesh)
+    t.load_checkpoint(tmp_path / "state")  # 2-proc files, 1 process now
+    got = hashlib.sha256(
+        np.ascontiguousarray(t.embeddings()).tobytes()
+    ).hexdigest()[:16]
+    assert got == want, (got, want)
