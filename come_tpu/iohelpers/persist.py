@@ -240,10 +240,14 @@ def load_checkpoint_sharded(path: str | Path, layout):
     )
 
 
-def load_checkpoint_meta(path: str | Path) -> dict:
+def load_checkpoint_meta(path: str | Path, process_index: int = 0) -> dict:
     """Topology metadata of a sharded checkpoint: the ``_meta.*`` ints plus
-    ``process_count``.  Empty dict for pre-metadata checkpoints."""
-    p = _proc_path(path, 0)
+    ``process_count``.  Empty dict for pre-metadata checkpoints.
+
+    ``process_index``: which per-process file to read — every file carries
+    the same metadata; multi-process callers MUST read their OWN file
+    (reading a peer's races that peer's still-in-flight save)."""
+    p = _proc_path(path, process_index)
     if not p.exists():
         return {}
     z = np.load(p)

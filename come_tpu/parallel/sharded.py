@@ -1471,6 +1471,13 @@ class ShardedComETrainer(ComETrainer):
                 "v_real": self.v_real,
             },
         )
+        if jax.process_count() > 1:
+            # all shard files durable before ANY process proceeds: a peer
+            # that loads (or merges) right after save must never observe
+            # a half-written checkpoint
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_saved:{path}")
 
     def load_checkpoint(self, path) -> None:
         from come_tpu.iohelpers import (
@@ -1480,7 +1487,9 @@ class ShardedComETrainer(ComETrainer):
         )
 
         lay = self.layout
-        meta = load_checkpoint_meta(path)
+        # read THIS process's own shard file for the topology metadata —
+        # every file carries it, and a peer's file may still be in flight
+        meta = load_checkpoint_meta(path, jax.process_index())
         same = (
             meta.get("process_count") == jax.process_count()
             and meta.get("data", lay.data_size) == lay.data_size

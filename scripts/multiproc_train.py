@@ -141,6 +141,14 @@ def main(argv=None) -> int:
                 np.testing.assert_array_equal(
                     np.asarray(sa.data), np.asarray(sb.data)
                 )
+        # logical-embedding fingerprint of the SAVED state (t2 right
+        # after restore == the checkpoint): lets a different-topology
+        # loader (the elastic-restore test) verify bit-exact transfer
+        import hashlib
+
+        h = hashlib.sha256(
+            np.ascontiguousarray(t2.embeddings()).tobytes()
+        ).hexdigest()[:16]
         la, lb = t.o1_epoch(), t2.o1_epoch()
         assert la == lb, (la, lb)
         for sa, sb in zip(
@@ -150,16 +158,6 @@ def main(argv=None) -> int:
             np.testing.assert_array_equal(
                 np.asarray(sa.data), np.asarray(sb.data)
             )
-        # logical-embedding fingerprint of the SAVED state (t2 == the
-        # restored state, before the extra epoch above ran on t2? both
-        # trained one epoch after restore — recompute from a fresh load)
-        t3 = ShardedComETrainer(g, cfg, mesh)
-        t3.load_checkpoint(path)
-        import hashlib
-
-        h = hashlib.sha256(
-            np.ascontiguousarray(t3.embeddings()).tobytes()
-        ).hexdigest()[:16]
         ckpt = f" ckpt=ok embhash={h}"
 
     ab = ""
@@ -173,6 +171,12 @@ def main(argv=None) -> int:
         f"o3={l3:.6f} nmi={nmi:.4f} served={t.last_o1_served:.4f}{ckpt}{ab}",
         flush=True,
     )
+    # align exits: a straggler reaching jax.distributed's shutdown barrier
+    # long after its peer trips the coordination-service deadline (flaky
+    # under load); one explicit sync bounds the divergence
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("multiproc_train_done")
     return 0
 
 
