@@ -309,8 +309,11 @@ def gmm_em_fit_sharded(
         means, chol, log_w = _em_while_loop(
             means, chol, log_w, e_step, m_step, max_iter, tol
         )
-        _, ll = e_step(means, chol, log_w)
-        resp = full_resp(means, chol, log_w)
+        resp, ll = e_step(means, chol, log_w)
+        if data_axis is not None:
+            # resp above covers only this replica's chunk; the output
+            # contract is the FULL local shard (row-local normalization)
+            resp = full_resp(means, chol, log_w)
         best_ll, best = carry
         take = ll > best_ll
         best = jax.tree_util.tree_map(

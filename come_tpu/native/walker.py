@@ -88,6 +88,9 @@ class HostWalkFeeder:
             if nodes is None
             else np.asarray(nodes, np.int32)
         )
+        if self._nodes.size == 0:
+            # an empty pool would busy-spin the producer and block next()
+            raise ValueError("HostWalkFeeder: empty start-node pool")
         self._q: Queue = Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._seed = seed

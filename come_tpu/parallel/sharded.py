@@ -1270,6 +1270,8 @@ class ShardedComETrainer(ComETrainer):
         if self._host_feeder is None:
             splits = np.array_split(np.arange(v, dtype=np.int32), D)
             nodes = np.concatenate([splits[r] for r in rows])
+            if nodes.size == 0:  # more data rows than nodes: walk any
+                nodes = np.arange(v, dtype=np.int32)
             self._host_feeder = HostWalkFeeder(
                 self.graph,
                 batch=(B // D) * len(rows),
@@ -1285,11 +1287,14 @@ class ShardedComETrainer(ComETrainer):
             wb = self._shard_local_batch(walks, P(None, "data", None))
             self.state, st = self._o1_walks_jit(self.state, wb)
             stats.append(st)  # device values: no per-batch sync
-        tot = np.asarray(jnp.sum(jnp.stack(stats), axis=0))
-        self.last_o1_pairs = float(tot[1])
-        self.last_o1_served = float(tot[2]) / n_batches
-        self._warn_unserved("o1", self.last_o1_served)
-        return float(tot[0]) / n_batches
+        tot = jnp.sum(jnp.stack(stats), axis=0)
+        n = jnp.float32(n_batches)
+        # same stats-vector contract as the device-corpus epochs: one
+        # [loss, pairs, served] device vector, flushed by o1_sync — so
+        # stats_sync(False) chaining works for the host corpus too
+        return self._finish_o1(
+            jnp.stack([tot[0] / n, tot[1], tot[2] / n])
+        )
 
     def o1_epoch(self) -> float:
         cfg = self.cfg
@@ -1469,6 +1474,11 @@ class ShardedComETrainer(ComETrainer):
                 "data": self.layout.data_size,
                 "model": self.layout.model_size,
                 "v_real": self.v_real,
+                # whether the a2a id interleave was applied: rows are in
+                # PERMUTED order iff true — psum-exchange trainers at
+                # model>1 keep original order, and a loader that guessed
+                # from the mesh shape alone would scramble them
+                "interleave": int(self._perm is not None),
             },
         )
         if jax.process_count() > 1:
@@ -1490,10 +1500,15 @@ class ShardedComETrainer(ComETrainer):
         # read THIS process's own shard file for the topology metadata —
         # every file carries it, and a peer's file may still be in flight
         meta = load_checkpoint_meta(path, jax.process_index())
+        mine = int(self._perm is not None)
         same = (
             meta.get("process_count") == jax.process_count()
             and meta.get("data", lay.data_size) == lay.data_size
             and meta.get("model", lay.model_size) == lay.model_size
+            # same mesh shape but a different row-id layout (a2a
+            # interleave vs psum original order) still needs the elastic
+            # re-permutation — a direct shard restore would scramble rows
+            and meta.get("interleave", mine) == mine
         )
         if not same:
             self._load_checkpoint_elastic(path, meta)
@@ -1533,10 +1548,15 @@ class ShardedComETrainer(ComETrainer):
                 f"{self.v_real}"
             )
         m_saved = int(meta["model"])
+        # rows are in interleaved order only if the SAVING trainer applied
+        # the a2a relabel (recorded in meta; psum-exchange trainers at
+        # model>1 keep original order — inverting unconditionally would
+        # scramble them)
+        interleaved = bool(meta.get("interleave", m_saved > 1))
 
         def to_logical(a):
             a = a[:vr]  # drop the saved layout's pad rows
-            if m_saved > 1:
+            if interleaved:
                 perm_s = np.asarray(interleave_permutation(vr, m_saved))
                 a = a[perm_s]  # logical[j] = trained[perm[j]]
             return a

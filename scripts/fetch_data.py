@@ -69,7 +69,10 @@ SOURCES = {
         "dest": DATA / "Wikipedia" / "wikipedia.mat",
         "nodes": 4777,
         "communities": 40,
-        "edges": 184812,  # published (node2vec POS co-occurrence graph)
+        # no edge pin: the POS graph is a WEIGHTED co-occurrence matrix
+        # whose stored nnz (weights, possible diagonal) need not equal the
+        # published edge count; pinning an unverified constant would
+        # permanently reject the genuine file (V/C structure still checked)
     },
     "dblp": {
         "urls": [

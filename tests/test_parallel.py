@@ -220,6 +220,34 @@ def test_elastic_checkpoint_restore(tmp_path, karate, new_shape):
     assert np.isfinite(t2.o1_epoch())
 
 
+def test_elastic_restore_psum_checkpoint(tmp_path, karate):
+    """Round-4 review finding (confirmed): a checkpoint saved with
+    row_exchange='psum' at model>1 keeps ORIGINAL row order (no a2a
+    interleave); the elastic loader used to invert the interleave
+    unconditionally from the mesh shape and silently scrambled the
+    embeddings.  The interleave flag now rides the checkpoint metadata."""
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    cfg = get_config("karate").replace(
+        outer_iters=0, pretrain_epochs=1, row_exchange="psum"
+    )
+    t = ShardedComETrainer(karate.graph, cfg, mesh)
+    assert t._perm is None
+    t.o1_epoch()
+    t.save_checkpoint(tmp_path / "state")
+    # cross-shape elastic restore: logical state must transfer exactly
+    mesh1 = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    t2 = ShardedComETrainer(karate.graph, cfg, mesh1)
+    t2.load_checkpoint(tmp_path / "state")
+    np.testing.assert_array_equal(t.embeddings(), t2.embeddings())
+    # SAME mesh shape but a2a (interleaved) layout: must route through
+    # the elastic re-permutation, not the direct shard restore
+    cfg_a2a = cfg.replace(row_exchange="a2a")
+    t3 = ShardedComETrainer(karate.graph, cfg_a2a, mesh)
+    assert t3._perm is not None
+    t3.load_checkpoint(tmp_path / "state")
+    np.testing.assert_array_equal(t.embeddings(), t3.embeddings())
+
+
 def test_same_proc_count_mesh_change_refused_without_elastic(
     tmp_path, karate
 ):
