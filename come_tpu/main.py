@@ -41,11 +41,30 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--eval-f1", action="store_true",
                    help="also run node-classification F1 at the end")
     p.add_argument("--json", action="store_true", help="JSONL record output")
+    p.add_argument(
+        "--mesh",
+        help="train on a ('data','model') device mesh, e.g. --mesh 4,2 "
+        "(ShardedComETrainer; needs data*model visible devices)",
+    )
+    p.add_argument(
+        "--distributed",
+        help="multi-host launch: COORDINATOR:PORT,NUM_PROCESSES,PROCESS_ID "
+        "(jax.distributed; combine with --mesh spanning all hosts' devices)",
+    )
     return p
 
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+
+    if args.distributed:
+        # multi-host: initialize BEFORE any backend touch so jax.devices()
+        # spans the pod (reference had no multi-host story at all —
+        # SURVEY.md §2 parallelism table)
+        coord, nproc, pid = args.distributed.rsplit(",", 2)
+        from come_tpu.parallel.distributed import initialize_distributed
+
+        initialize_distributed(coord, int(nproc), int(pid))
 
     from come_tpu.config import PRESETS, ComEConfig
     from come_tpu.graphs import get_dataset
@@ -66,7 +85,18 @@ def main(argv=None) -> int:
     print(f"dataset={ds.name}: V={ds.graph.num_nodes} E={ds.graph.num_edges} "
           f"K={cfg.num_communities} d={cfg.dim}")
     t0 = time.time()
-    trainer = ComETrainer(ds.graph, cfg)
+    if args.mesh:
+        import jax
+
+        from come_tpu.parallel import ShardedComETrainer, make_mesh
+
+        d, m = (int(x) for x in args.mesh.split(","))
+        mesh = make_mesh(data=d, model=m, devices=jax.devices()[: d * m])
+        trainer = ShardedComETrainer(ds.graph, cfg, mesh)
+        print(f"mesh=({d},{m}) o1_tier={trainer.o1_tier()} "
+              f"o2_tier={trainer.o2_tier()}")
+    else:
+        trainer = ComETrainer(ds.graph, cfg)
     if args.resume:
         trainer.load_checkpoint(args.resume)  # restores host_key too
         print(f"resumed from {args.resume} "
