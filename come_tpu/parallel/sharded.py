@@ -1350,30 +1350,35 @@ class ShardedComETrainer(ComETrainer):
             )
         return "xla-per-pair"
 
-    def exchange_overlap_ab(self, epochs: int = 1) -> dict:
+    def exchange_overlap_ab(self, epochs: int = 1, phase: str = "o1") -> dict:
         """Exchange-vs-compute observability scalar (SURVEY §5 metrics row).
 
-        Times one warmed O1 epoch with the double-buffered row exchange ON
-        vs OFF on fresh clone trainers (this trainer's state is untouched)
-        and returns ``{"overlap_on_ms", "overlap_off_ms",
-        "exchange_hidden_ms"}`` — the last being how much collective time
-        the software pipelining hides behind the kernel.  Only meaningful
-        on a model>1 mesh (the row-sharded tiers); raises otherwise.
+        Times one warmed O1 (or O2, ``phase="o2"``) epoch with the
+        double-buffered row exchange ON vs OFF on fresh clone trainers
+        (this trainer's state is untouched) and returns
+        ``{"overlap_on_ms", "overlap_off_ms", "exchange_hidden_ms"}`` —
+        the last being how much collective time the software pipelining
+        hides behind the kernel.  Only meaningful on a model>1 mesh (the
+        row-sharded tiers); raises otherwise.
         """
         import time
 
         if self.layout.model_size <= 1:
             raise ValueError("no row exchange at model=1 (psum-only mesh)")
+        if phase not in ("o1", "o2"):
+            raise ValueError(f"phase must be o1|o2, got {phase!r}")
 
         def timed(cfg):
             tr = type(self)(self._orig_graph, cfg, self.layout.mesh)
-            tr.o1_epoch()  # compile + warm
+            epoch = tr.o1_epoch if phase == "o1" else tr.o2_epoch
+            sync = tr.o1_sync if phase == "o1" else tr.o2_sync
+            epoch()  # compile + warm
             tr.stats_sync(False)
             try:
                 t0 = time.perf_counter()
                 for _ in range(epochs):
-                    tr.o1_epoch()
-                tr.o1_sync()
+                    epoch()
+                sync()
                 return (time.perf_counter() - t0) / epochs * 1e3
             finally:
                 tr.stats_sync(True)

@@ -279,10 +279,15 @@ def test_exchange_overlap_ab_scalar(karate):
                        "exchange_hidden_ms"}
     assert ab["overlap_on_ms"] > 0 and ab["overlap_off_ms"] > 0
     np.testing.assert_array_equal(before, np.asarray(t.state.params.node_emb))
+    # the O2 phase has its own A/B (the round-4 row-sharded O2 tier)
+    ab2 = t.exchange_overlap_ab(phase="o2")
+    assert ab2["overlap_on_ms"] > 0 and ab2["overlap_off_ms"] > 0
     mesh1 = make_mesh(data=4, model=1, devices=jax.devices()[:4])
     t1 = ShardedComETrainer(karate.graph, cfg, mesh1)
     with pytest.raises(ValueError):
         t1.exchange_overlap_ab()
+    with pytest.raises(ValueError):
+        t.exchange_overlap_ab(phase="o3")
 
 
 def test_train_logs_phase_ms(karate):
