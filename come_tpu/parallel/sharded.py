@@ -503,10 +503,10 @@ class ShardedComETrainer(ComETrainer):
             runs — gather latency hides behind compute (one-step-stale
             reads; the hogwild envelope widened by one macro step).
         """
-        from come_tpu.parallel.exchange import shift_plans
         from come_tpu.parallel.walk_exchange import (
             fused_walk_step_prepped,
             plan_walk_macro_steps,
+            prefetch_scan,
         )
 
         cfg = self.cfg
@@ -541,7 +541,14 @@ class ShardedComETrainer(ComETrainer):
         )
         p0 = state.params
 
-        def apply(ne, ce, words, rows_n, rows_c, plan, rw, rn, seed):
+        def gather(carry, plan):
+            ne, ce, _words = carry
+            return plan.gather(ne), plan.gather(ce)
+
+        def step(carry, rows, plan, xs_k):
+            ne, ce, words = carry
+            rows_n, rows_c = rows
+            rw, rn, seed = xs_k
             lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
             dn, dc, loss, npairs = fused_walk_step_prepped(
                 ne, ce, rows_n, rows_c, plan, rw, rn, lr, negw, seed,
@@ -550,47 +557,13 @@ class ShardedComETrainer(ComETrainer):
             ne = ne + jax.lax.psum(dn, "data")
             ce = ce + jax.lax.psum(dc, "data")
             words = words + jnp.float32(B_global * L)
-            return ne, ce, words, loss, npairs
+            return (ne, ce, words), (loss, npairs)
 
-        if self._overlap_on(banded=False):
-            plan0 = jax.tree.map(lambda a: a[0], plans)
-            rows_n0 = plan0.gather(p0.node_emb)
-            rows_c0 = plan0.gather(p0.ctx_emb)
-
-            def body(carry, xs):
-                ne, ce, words, rows_n, rows_c = carry
-                plan_cur, plan_next, rw, rn, seed = xs
-                # prefetch step k+1's rows BEFORE this step's delta lands
-                nrows_n = plan_next.gather(ne)
-                nrows_c = plan_next.gather(ce)
-                ne, ce, words, loss, npairs = apply(
-                    ne, ce, words, rows_n, rows_c, plan_cur, rw, rn, seed
-                )
-                return (ne, ce, words, nrows_n, nrows_c), (loss, npairs)
-
-            carry0 = (
-                p0.node_emb, p0.ctx_emb, state.words_seen, rows_n0, rows_c0
-            )
-            (ne, ce, words, _, _), (losses, npairs) = jax.lax.scan(
-                body, carry0, (plans, shift_plans(plans), rwalks, rneg,
-                               seeds),
-            )
-        else:
-
-            def body(carry, xs):
-                ne, ce, words = carry
-                plan, rw, rn, seed = xs
-                rows_n = plan.gather(ne)
-                rows_c = plan.gather(ce)
-                ne, ce, words, loss, npairs = apply(
-                    ne, ce, words, rows_n, rows_c, plan, rw, rn, seed
-                )
-                return (ne, ce, words), (loss, npairs)
-
-            (ne, ce, words), (losses, npairs) = jax.lax.scan(
-                body, (p0.node_emb, p0.ctx_emb, state.words_seen),
-                (plans, rwalks, rneg, seeds),
-            )
+        (ne, ce, words), (losses, npairs) = prefetch_scan(
+            plans, (rwalks, rneg, seeds),
+            (p0.node_emb, p0.ctx_emb, state.words_seen),
+            gather, step, self._overlap_on(banded=False),
+        )
 
         params = p0.replace(node_emb=ne, ctx_emb=ce)
         state = TrainState(params=params, key=state.key, words_seen=words)
@@ -910,10 +883,10 @@ class ShardedComETrainer(ComETrainer):
         :meth:`_o1_rowsharded_scan`: id all-to-alls hoisted+batched before
         the scan, row gathers double-buffered under compute when
         ``overlap_exchange`` resolves on."""
-        from come_tpu.parallel.exchange import shift_plans
         from come_tpu.parallel.walk_exchange import (
             fused_walk_step_prepped,
             plan_walk_macro_steps,
+            prefetch_scan,
         )
 
         cfg = self.cfg
@@ -944,7 +917,13 @@ class ShardedComETrainer(ComETrainer):
         negw = cfg.negative / cfg.shared_negatives
         p0 = state.params
 
-        def apply(ne, words, rows, plan, re_k, rn_k, seed):
+        def gather(carry, plan):
+            ne, _words = carry
+            return plan.gather(ne)  # tied: ONE table, half O1's traffic
+
+        def step(carry, rows, plan, xs_k):
+            ne, words = carry
+            re_k, rn_k, seed = xs_k
             lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
             # tied tables: the gathered node rows serve as BOTH kernel
             # tables; dn + dc is the tied composition (new_in + new_out -
@@ -957,41 +936,13 @@ class ShardedComETrainer(ComETrainer):
             )
             ne = ne + jax.lax.psum(dn + dc, "data")
             words = words + jnp.float32(global_slots)
-            return ne, words, loss, npairs
+            return (ne, words), (loss, npairs)
 
-        if self._overlap_on(banded=False):
-            plan0 = jax.tree.map(lambda a: a[0], plans)
-            rows0 = plan0.gather(p0.node_emb)
-
-            def body(carry, xs):
-                ne, words, rows = carry
-                plan_cur, plan_next, re_k, rn_k, seed = xs
-                # prefetch step k+1's rows BEFORE this step's delta lands
-                nrows = plan_next.gather(ne)
-                ne, words, loss, npairs = apply(
-                    ne, words, rows, plan_cur, re_k, rn_k, seed
-                )
-                return (ne, words, nrows), (loss, npairs)
-
-            (ne, words, _), (losses, npairs) = jax.lax.scan(
-                body, (p0.node_emb, state.words_seen, rows0),
-                (plans, shift_plans(plans), redges, rneg, seeds),
-            )
-        else:
-
-            def body(carry, xs):
-                ne, words = carry
-                plan, re_k, rn_k, seed = xs
-                rows = plan.gather(ne)
-                ne, words, loss, npairs = apply(
-                    ne, words, rows, plan, re_k, rn_k, seed
-                )
-                return (ne, words), (loss, npairs)
-
-            (ne, words), (losses, npairs) = jax.lax.scan(
-                body, (p0.node_emb, state.words_seen),
-                (plans, redges, rneg, seeds),
-            )
+        (ne, words), (losses, npairs) = prefetch_scan(
+            plans, (redges, rneg, seeds),
+            (p0.node_emb, state.words_seen),
+            gather, step, self._overlap_on(banded=False),
+        )
 
         params = p0.replace(node_emb=ne)
         state = TrainState(params=params, key=state.key, words_seen=words)

@@ -57,6 +57,50 @@ from come_tpu.parallel.exchange import (
 )
 
 
+def prefetch_scan(plans, xs, carry0, gather, step, overlap: bool):
+    """Scan macro steps with optional one-step row prefetch — THE shared
+    double-buffer pattern of every row-sharded tier (O1 kernel, O2 paired
+    kernel, banded blocks), so a fix to the pipelining applies everywhere.
+
+    ``plans``: batched RowExchangePlan (leading scan dim on every leaf).
+    ``xs``: tuple of per-step scan inputs.
+    ``gather(carry, plan) -> rows``: fetch the step's rows (any pytree)
+    from the CURRENT carry's tables.
+    ``step(carry, rows, plan, xs_k) -> (carry, out)``: apply one macro
+    step.
+
+    With ``overlap`` the NEXT step's rows are gathered BEFORE the current
+    step's update lands (double buffering through the scan carry): the
+    gather has no data dependency on the step's compute, so on TPU the
+    a2a rides the async collective engines under the kernel.  Prefetched
+    rows are one step stale — hogwild-class; callers' deltas are relative
+    to the gathered base, so sum-of-deltas consistency is unaffected.
+    """
+    if overlap:
+        plan0 = jax.tree.map(lambda a: a[0], plans)
+        rows0 = gather(carry0, plan0)
+
+        def body(c, x):
+            carry, rows = c
+            plan_cur, plan_next, xs_k = x
+            nrows = gather(carry, plan_next)
+            carry, out = step(carry, rows, plan_cur, xs_k)
+            return (carry, nrows), out
+
+        (carry, _), outs = jax.lax.scan(
+            body, (carry0, rows0), (plans, shift_plans(plans), xs)
+        )
+    else:
+
+        def body(carry, x):
+            plan, xs_k = x
+            rows = gather(carry, plan)
+            return step(carry, rows, plan, xs_k)
+
+        carry, outs = jax.lax.scan(body, carry0, (plans, xs))
+    return carry, outs
+
+
 def plan_walk_macro_steps(
     walks_all: jnp.ndarray,  # [S, B_w, L] this worker's walks (GLOBAL ids)
     sneg_all: jnp.ndarray,   # [S, ...]    negative pools (GLOBAL ids)
@@ -290,38 +334,21 @@ def banded_walk_step_rowsharded(
 
     delta0 = jnp.zeros_like(combo_shard)
     rw_b = rw.reshape(G, Bc, L)
-    if overlap:
-        plan0 = jax.tree.map(lambda a: a[0], plans)
-        rows0 = plan0.gather(combo_shard)
 
-        def block(carry, xs):
-            delta, rows = carry
-            plan_cur, plan_next, rw_k, rp_k, wr = xs
-            # prefetch block k+1's rows BEFORE block k's scatter lands: no
-            # data dependency on this block's compute, so the a2a overlaps
-            # it (rows are one block stale — hogwild-class)
-            rows_next = plan_next.gather(combo_shard + delta)
-            upd, loss, npairs = compute(rows, rw_k, rp_k, wr)
-            delta = plan_cur.scatter_add(delta, upd * (-lr))
-            return (delta, rows_next), (loss, npairs)
+    def gather(delta, plan):
+        # blocks accumulate their delta LOCALLY: gathers read shard + own
+        # accumulated delta (the per-worker hogwild envelope)
+        return plan.gather(combo_shard + delta)
 
-        (delta, _), (losses, npairs) = jax.lax.scan(
-            block,
-            (delta0, rows0),
-            (plans, shift_plans(plans), rw_b, rp, wrows),
-        )
-    else:
+    def block(delta, rows, plan, xs_k):
+        rw_k, rp_k, wr = xs_k
+        upd, loss, npairs = compute(rows, rw_k, rp_k, wr)
+        delta = plan.scatter_add(delta, upd * (-lr))
+        return delta, (loss, npairs)
 
-        def block(delta, xs):
-            plan_cur, rw_k, rp_k, wr = xs
-            rows = plan_cur.gather(combo_shard + delta)
-            upd, loss, npairs = compute(rows, rw_k, rp_k, wr)
-            delta = plan_cur.scatter_add(delta, upd * (-lr))
-            return delta, (loss, npairs)
-
-        delta, (losses, npairs) = jax.lax.scan(
-            block, delta0, (plans, rw_b, rp, wrows)
-        )
+    delta, (losses, npairs) = prefetch_scan(
+        plans, (rw_b, rp, wrows), delta0, gather, block, overlap
+    )
 
     combo = combo_shard + jax.lax.psum(delta, data_axis)
     loss = jax.lax.psum(jnp.sum(losses), (data_axis, axis))
