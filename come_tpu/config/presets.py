@@ -55,6 +55,12 @@ class ComEConfig:
     # rounding SGD writes, f32 gradient math) when f32 tables exceed the
     # VMEM tier — extends the fused path to V ~ 114k @ d=128 (Flickr).
     walk_kernel_bf16_tables: bool = True
+    # O2 (edge pass) tier: "auto" picks the fastest eligible tier —
+    # star (fused tied star kernel, ops/pallas_star_sgns.py: arcs grouped
+    # by source, ~2 pairs/slot and 1 gather+1 scatter per slot) ->
+    # paired (walk-banded kernel's edge mode) -> xla.  "star"/"paired"/
+    # "xla" force a tier (paired kept for A/B and the verify gate).
+    o2_mode: str = "auto"
     # walk-banded kernel: walk-groups per shared negative pool (R).  The
     # pool's accumulated gradient applies at every R-block boundary —
     # small R = fresher negatives + tighter stability, large R = fewer

@@ -720,6 +720,8 @@ class ComETrainer:
         and a graph large enough for the 512-edges-per-group synchronous
         update (collision envelope as in :meth:`_use_walk_kernel`)."""
         cfg = self.cfg
+        if cfg.o2_mode not in ("auto", "paired"):
+            return False
         if cfg.pallas == "never" or cfg.negative_mode != "shared":
             return False
         if cfg.pallas != "always" and jax.default_backend() != "tpu":
@@ -731,6 +733,111 @@ class ComETrainer:
 
         collisions = 2.0 * NWL / max(self.graph.num_nodes, 1)
         return collisions <= 16.0
+
+    def _use_star_o2(self) -> bool:
+        """Star (fan-out grouped) fused O2 tier: shared negatives, f32
+        tied table in VMEM.  Tied staging keeps ONE table resident, so the
+        VMEM ceiling is 2x the paired tier's; the collision envelope is
+        the paired tier's (group-synchronous updates over <= 2*NWL pair
+        endpoints)."""
+        cfg = self.cfg
+        if cfg.o2_mode not in ("auto", "star"):
+            return False
+        if cfg.pallas == "never" or cfg.negative_mode != "shared":
+            return False
+        if cfg.pallas != "always" and jax.default_backend() != "tpu":
+            return False
+        budget = getattr(self, "_vmem_budget", 48 * 1024 * 1024)
+        if self.graph.num_nodes * cfg.dim * 4 > 2 * budget:
+            return False  # single f32 table resident
+        from come_tpu.ops.pallas_star_sgns import NWL
+
+        collisions = 2.0 * NWL / max(self.graph.num_nodes, 1)
+        return collisions <= 16.0
+
+    def _star_layout(self):
+        """Build (once) the star slot/meta stream and its row view.  The
+        layout is static — the edge list doesn't change — and epochs
+        shuffle at ROW granularity, which is exactly the granularity that
+        matters under group-synchronous updates (intra-group order is
+        irrelevant by construction)."""
+        if not hasattr(self, "_star_rows_slots"):
+            from come_tpu.sampling.stars import (
+                build_star_layout,
+                star_layout_stats,
+            )
+
+            u, v = self.graph.edges_undirected()
+            slots, meta = build_star_layout(u, v, self.graph.num_nodes)
+            st = star_layout_stats(slots, meta)
+            self._star_pairs = st["pairs"]
+            self._star_rows_slots = jnp.asarray(
+                slots.reshape(-1, 128), jnp.int32
+            )
+            self._star_rows_meta = jnp.asarray(
+                meta.reshape(-1, 128), jnp.int32
+            )
+        return self._star_rows_slots, self._star_rows_meta
+
+    def _o2_epoch_star(
+        self,
+        state: TrainState,
+        rows_slots: jnp.ndarray,  # [NR, 128] star layout rows
+        rows_meta: jnp.ndarray,  # [NR, 128]
+        pairs_per_step: float,
+        steps: int,
+        rows_per_step: int,
+    ):
+        """Star-tier O2 epoch: permute layout rows on device, scan macro
+        steps through the fused tied kernel."""
+        from come_tpu.ops.pallas_star_sgns import NWL, fused_star_sgns_step
+
+        cfg = self.cfg
+        key, kperm = jax.random.split(state.key)
+        NR = rows_slots.shape[0]
+        perm = jax.random.permutation(kperm, NR)
+        pad_rows = steps * rows_per_step - NR
+        # pad with self-masking rows (meta -2) — exact zero work, unlike
+        # the paired tier's wrap-resize which retrains a few edges
+        ps = jnp.pad(rows_slots[perm], ((0, pad_rows), (0, 0)))
+        pm = jnp.pad(
+            rows_meta[perm], ((0, pad_rows), (0, 0)), constant_values=-2
+        )
+        slots_all = ps.reshape(steps, rows_per_step * 128)
+        meta_all = pm.reshape(steps, rows_per_step * 128)
+
+        def body(carry, sm):
+            params, key, words = carry
+            slots_s, meta_s = sm
+            key, kn, kp = jax.random.split(key, 3)
+            lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
+            interp = (cfg.pallas == "always"
+                      and jax.default_backend() != "tpu")
+            n_groups = -(-(rows_per_step * 128) // NWL)
+            n_pools = -(-n_groups // cfg.walk_pool_refresh)
+            sneg = sample_alias(
+                self.accept, self.alias, kn,
+                (n_pools, cfg.shared_negatives),
+            )
+            seed = jax.random.randint(kp, (), 0, 2**31 - 1, dtype=jnp.int32)
+            ne, loss, npairs = fused_star_sgns_step(
+                params.node_emb, slots_s, meta_s, sneg, lr * cfg.alpha,
+                cfg.negative / cfg.shared_negatives, seed,
+                mxu_bf16=cfg.walk_kernel_bf16,
+                pool_refresh=cfg.walk_pool_refresh, interpret=interp,
+            )
+            params = params.replace(node_emb=ne)
+            words = words + jnp.float32(pairs_per_step)
+            return (params, key, words), (loss, npairs)
+
+        (params, key, words), (losses, npairs) = jax.lax.scan(
+            body, (state.params, key, state.words_seen),
+            (slots_all, meta_all),
+        )
+        state = TrainState(params=params, key=key, words_seen=words)
+        npair = jnp.sum(npairs)
+        loss = jnp.sum(losses) / jnp.maximum(npair, 1.0)
+        return state, jnp.stack([loss, npair])
 
     def _o2_epoch_kernel(self, state: TrainState, rows_all: jnp.ndarray):
         """Kernel O2 epoch: rows_all int32 [S, B_r, 128], each row 64
@@ -825,6 +932,24 @@ class ComETrainer:
         SURVEY.md C7/§3.3).  The fast path packs undirected edges into the
         walk-banded kernel's paired mode (both arc directions per edge)."""
         cfg = self.cfg
+        if self._use_star_o2():
+            rs, rm = self._star_layout()
+            if not hasattr(self, "_o2_star_jit"):
+                self._o2_star_jit = jax.jit(
+                    self._o2_epoch_star, donate_argnums=0,
+                    static_argnums=(3, 4, 5),
+                )
+            NR = rs.shape[0]
+            # slots per macro step ~ batch_edges (the paired tier's slot
+            # count at the same config), rounded to whole kernel groups
+            rps = max(8, min(-(-cfg.batch_edges // 128), NR))
+            rps = -(-rps // 8) * 8
+            steps = -(-NR // rps)
+            self.state, stats = self._o2_star_jit(
+                self.state, rs, rm,
+                float(self._star_pairs) / steps, steps, rps,
+            )
+            return self._finish_o2(stats)
         if self._use_walk_kernel_o2():
             if not hasattr(self, "_o2_kernel_jit"):
                 self._o2_kernel_jit = jax.jit(

@@ -213,8 +213,9 @@ def test_o2_paired_kernel_selected_and_trains():
     exact pair counts, loss decreases, and embeddings pull edge endpoints
     together (the first-order proximity objective, SURVEY.md C7)."""
     g, labels = sbm_graph(512, 4, p_in=0.2, p_out=0.01, seed=3)
-    t = ComETrainer(g, _cfg(alpha=1.0))
+    t = ComETrainer(g, _cfg(alpha=1.0, o2_mode="paired"))
     assert t._use_walk_kernel_o2()
+    assert not t._use_star_o2()  # mode pin keeps the paired tier testable
     first = t.o2_epoch()
     # exact counter: every undirected edge trained in both directions
     e2 = len(g.edges_undirected()[0])
@@ -246,6 +247,31 @@ def test_o2_kernel_gate_falls_back():
     t2 = ComETrainer(g2, _cfg(negative_mode="per_pair", negative=3))
     assert not t2._use_walk_kernel_o2()
     assert np.isfinite(t2.o2_epoch())
+
+
+def test_o2_star_kernel_selected_and_trains():
+    """O2 through the STAR (fan-out grouped, tied) kernel — the default
+    fast tier: selected under 'auto', trains every undirected edge in
+    both directions with exact pair counts, loss decreases, and edge
+    endpoints pull together (SURVEY.md C7 first-order objective)."""
+    g, labels = sbm_graph(512, 4, p_in=0.2, p_out=0.01, seed=3)
+    t = ComETrainer(g, _cfg(alpha=1.0))
+    assert t._use_star_o2()  # auto prefers star over paired
+    first = t.o2_epoch()
+    e2 = len(g.edges_undirected()[0])
+    assert t.last_o2_pairs == 2 * e2, (t.last_o2_pairs, e2)
+    losses = [t.o2_epoch() for _ in range(7)]
+    assert np.isfinite(first) and losses[-1] < first
+    emb = np.asarray(t.state.params.node_emb)
+    assert np.abs(emb).max() < 10.0
+    u, v = g.edges_undirected()
+    norm = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-9)
+    rng = np.random.default_rng(0)
+    ru = rng.integers(0, g.num_nodes, len(u))
+    rv = rng.integers(0, g.num_nodes, len(u))
+    edge_sim = float(np.mean(np.sum(norm[u] * norm[v], axis=1)))
+    rand_sim = float(np.mean(np.sum(norm[ru] * norm[rv], axis=1)))
+    assert edge_sim > rand_sim + 0.1, (edge_sim, rand_sim)
 
 
 def _edge_sim_gap(g, emb):
