@@ -3,7 +3,7 @@
 Prints ONE JSON line:
   {"metric": "edge_updates_per_s_per_chip", "value": N, "unit": "pairs/s",
    "vs_baseline": N / 6.25e7, "o1_fresh_walks": N, "o2": N,
-   "full_loop": N, "pairs_per_epoch": N}
+   "full_loop": N, "pairs_per_epoch": N, ...}
 
 Baseline: BASELINE.json:5 targets >= 1e9 skip-gram edge-updates/s on a
 v5e-16, i.e. 6.25e7 per chip.  An "edge update" is one trained positive
@@ -18,7 +18,7 @@ items 2/3/6):
 
   o1_fresh_walks  O1 with walks regenerated every epoch
   o1_fresh_kernel_gen  O1 with walks generated IN-kernel (no walker scan)
-  o2              the edge-proximity pass (paired walk-kernel fast path)
+  o2              the edge-proximity pass (star fan-out fused tier)
   full_loop       one outer iteration (GMM fit + O1 + O2 + O3) on the
                   cached corpus — reference accounting: deepwalk writes
                   its walk files ONCE per run and every outer iteration
@@ -28,20 +28,24 @@ items 2/3/6):
   phase_ms        per-phase breakdown of the cached full loop
                   (gmm/o1/o2/o3); phase_ms_fresh for the fresh loop's O1
 
-Headline statistic is the MEDIAN of 3 chained-run samples (max kept as
-``value_max``).
+MEASUREMENT PROTOCOL (every metric, VERDICT r4 item 2): this
+environment's chip sits behind a network tunnel whose device sync (one
+scalar D2H read) costs a FIXED ~25ms per measurement regardless of how
+much work was chained before it (measured: scripts/probe_star_floor.py
+and the chain-length sweep in docs/PERF.md).  On a production host the
+chip is local and that cost is noise.  Every rate/phase here is therefore
+the MARGINAL cost of additional chained epochs: run n1 epochs + sync, run
+n2 > n1 epochs + sync, and use (T(n2) - T(n1)) / (n2 - n1) — the fixed
+sync cancels exactly while per-epoch dispatch (~0.2ms, real) stays
+included.  Each metric is the MEDIAN of 3 such slope samples (spread
+kept as ``value_max``).
 
 All pair counts come from the kernels' own npairs counters
 (``trainer.last_o1_pairs`` / ``last_o2_pairs``), not mask-rate estimates.
 
 Runs the BlogCatalog config on a BlogCatalog-scale synthetic graph on
 whatever default device JAX gives (the real TPU chip under the axon env;
-CPU otherwise).  Timing excludes compilation (warmup discarded).  Epochs
-are timed CHAINED with a single device sync at the end
-(``trainer.stats_sync(False)`` + ``o1_sync()``): this environment's chip
-sits behind a network tunnel with ~40 ms per device round trip, which
-would otherwise dominate the measurement — on real production hosts the
-chip is local and per-epoch syncing is noise.
+CPU otherwise).  Timing excludes compilation (warmup discarded).
 """
 
 from __future__ import annotations
@@ -75,19 +79,33 @@ def _run_tpu_gate() -> None:
         raise SystemExit(1)
 
 
-def _chained_rate(trainer, epoch, sync, n: int, pairs_attr: str) -> float:
-    """Time n chained epochs with ONE host sync; pairs/s from the exact
-    per-epoch counter (constant across epochs up to reduced-window draws)."""
+def _slope_samples(epoch, sync, n1: int, n2: int, reps: int = 3):
+    """Marginal per-epoch seconds: chain n1 epochs + one sync, chain n2,
+    slope = (T(n2) - T(n1)) / (n2 - n1).  The fixed per-sync tunnel cost
+    cancels; per-epoch dispatch stays in.  Returns reps samples."""
+    out = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(n1):
+            epoch()
+        sync()
+        t1 = time.perf_counter()
+        for _ in range(n2):
+            epoch()
+        sync()
+        t2 = time.perf_counter()
+        out.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
+    return out
+
+
+def _rate(trainer, epoch, sync, n1, n2, pairs_attr, reps=3):
     trainer.stats_sync(False)
     try:
-        t0 = time.perf_counter()
-        for _ in range(n):
-            epoch()
-        sync()  # one D2H flush; forces completion of the whole chain
-        dt = (time.perf_counter() - t0) / n
+        secs = _slope_samples(epoch, sync, n1, n2, reps)
     finally:
         trainer.stats_sync(True)
-    return getattr(trainer, pairs_attr) / dt
+    pairs = getattr(trainer, pairs_attr)
+    return [pairs / s for s in secs]
 
 
 def main() -> None:
@@ -112,29 +130,23 @@ def main() -> None:
         batch_walks=2048,
         batch_pairs=131072,
         walks_per_node=2,
-        # measured sweep (round 4): the paired-O2 kernel peaks at 64k
-        # edges per macro step (25.2 M vs 22.3 M at the 32k default) —
-        # fewer scan steps amortize the tied-table composition
-        batch_edges=131072,
+        # O2 rides the star fan-out tier; one macro step per epoch (the
+        # whole star stream is ~347k slots) minimizes scan glue
+        batch_edges=524288,
     )
 
     # ---- headline: cached corpus (walks generated once, reference
     # accounting) ----
     t = ComETrainer(ds.graph, base.replace(walk_regen_epochs=0))
     t.o1_epoch()  # warmup/compile (also generates + caches the corpus)
-    # median-of-3: the defensible statistic (max kept as a secondary field)
-    cached_samples = [
-        _chained_rate(t, t.o1_epoch, t.o1_sync, 8, "last_o1_pairs")
-        for _ in range(3)
-    ]
+    cached_samples = _rate(t, t.o1_epoch, t.o1_sync, 2, 6, "last_o1_pairs")
     o1_cached = statistics.median(cached_samples)
 
     # ---- fresh walks every epoch ----
     tf = ComETrainer(ds.graph, base.replace(walk_regen_epochs=1))
     tf.o1_epoch()
     o1_fresh = statistics.median(
-        _chained_rate(tf, tf.o1_epoch, tf.o1_sync, 6, "last_o1_pairs")
-        for _ in range(3)
+        _rate(tf, tf.o1_epoch, tf.o1_sync, 2, 6, "last_o1_pairs")
     )
 
     # ---- fresh walks, generated IN-kernel (no walker pass) ----
@@ -145,16 +157,14 @@ def main() -> None:
     if tg._use_walk_kernel_gen():
         tg.o1_epoch()
         o1_gen = statistics.median(
-            _chained_rate(tg, tg.o1_epoch, tg.o1_sync, 6, "last_o1_pairs")
-            for _ in range(3)
+            _rate(tg, tg.o1_epoch, tg.o1_sync, 2, 6, "last_o1_pairs")
         )
 
-    # ---- O2 (edge pass) ----
+    # ---- O2 (edge pass; star tier).  O2 epochs are short (~6ms), so the
+    # chains are long enough that the marginal cost dwarfs timer noise.
     tf.o2_epoch()  # warmup/compile
-    o2 = statistics.median(
-        _chained_rate(tf, tf.o2_epoch, tf.o2_sync, 3, "last_o2_pairs")
-        for _ in range(3)
-    )
+    o2_samples = _rate(tf, tf.o2_epoch, tf.o2_sync, 4, 20, "last_o2_pairs")
+    o2 = statistics.median(o2_samples)
 
     # ---- full loop: one outer iteration, per-phase attribution.
     # Primary number uses the CACHED corpus (reference accounting: walk
@@ -166,25 +176,20 @@ def main() -> None:
             # over the tunnel, a scalar read is one D2H round trip
             float(tr.state.params.node_emb[0, 0])
 
-        def phase_ms(fn, sync, n=2, reps=3):
-            # median-of-reps, each rep = n chained runs + one sync
+        def phase_ms(fn, sync, n1=1, n2=5):
             fn()  # warm/compile
             sync()
-            samples = []
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                for _ in range(n):
-                    fn()
-                sync()
-                samples.append((time.perf_counter() - t0) / n * 1e3)
-            return statistics.median(samples)
+            secs = _slope_samples(fn, sync, n1, n2)
+            return statistics.median(secs) * 1e3
 
         tr.stats_sync(False)
         phases = {
             "gmm": phase_ms(tr.fit_gmm, flush),
             "o1": phase_ms(tr.o1_epoch, lambda: (tr.o1_sync(), flush())),
-            "o2": phase_ms(tr.o2_epoch, lambda: (tr.o2_sync(), flush())),
-            "o3": phase_ms(tr.o3_pass, flush),
+            "o2": phase_ms(
+                tr.o2_epoch, lambda: (tr.o2_sync(), flush()), 2, 10
+            ),
+            "o3": phase_ms(tr.o3_pass, flush, 2, 10),
         }
         tr.stats_sync(True)
         dt = sum(phases.values()) / 1e3
@@ -208,11 +213,13 @@ def main() -> None:
                     round(o1_gen, 1) if o1_gen is not None else None
                 ),
                 "o2": round(o2, 1),
+                "o2_max": round(max(o2_samples), 1),
                 "full_loop": round(full_loop, 1),
                 "full_loop_fresh": round(full_loop_fresh, 1),
                 "phase_ms": phases,
                 "phase_ms_fresh": phases_fresh,
                 "pairs_per_epoch": round(t.last_o1_pairs, 1),
+                "o2_pairs_per_epoch": round(t.last_o2_pairs, 1),
             }
         )
     )

@@ -388,8 +388,13 @@ class ShardedComETrainer(ComETrainer):
         meshes the A/B showed a win for the fused-kernel tier and a small
         regression for the banded tier, so auto disables it there."""
         ov = self.cfg.overlap_exchange
-        if ov != "auto":
-            return bool(ov)
+        if ov is True or ov is False:
+            return ov
+        if ov != "auto":  # 'off'/'never'/... must not silently enable
+            raise ValueError(
+                f"overlap_exchange must be True, False or 'auto'; got "
+                f"{ov!r}"
+            )
         if jax.default_backend() == "tpu":
             return True
         return not banded
@@ -1206,6 +1211,14 @@ class ShardedComETrainer(ComETrainer):
         corpus.  Feeder seeds key off the first owned data row, so
         model-axis process splits (which SHARE data rows and must supply
         identical replica values) generate identical batches.
+
+        Coverage approximation (ADVICE r4 item 4): the device batch must
+        be UNIFORM per data row (sharding needs equal shapes), but
+        ``np.array_split`` slices differ by up to one node, so nodes in a
+        larger slice get up to ``1/slice`` fewer expected walks per epoch
+        (< 0.5% at V >= 200/D).  The feeder's own permutation still
+        visits every owned node before repeating.  The feeder is built
+        once: batch sizing is config-static by design.
         """
         from come_tpu.native import HostWalkFeeder
 
@@ -1238,13 +1251,17 @@ class ShardedComETrainer(ComETrainer):
             wb = self._shard_local_batch(walks, P(None, "data", None))
             self.state, st = self._o1_walks_jit(self.state, wb)
             stats.append(st)  # device values: no per-batch sync
-        tot = jnp.sum(jnp.stack(stats), axis=0)
-        n = jnp.float32(n_batches)
+        st = jnp.stack(stats)  # [n_batches, 3]: per-batch [loss, pairs, srv]
+        pairs = jnp.sum(st[:, 1])
         # same stats-vector contract as the device-corpus epochs: one
         # [loss, pairs, served] device vector, flushed by o1_sync — so
-        # stats_sync(False) chaining works for the host corpus too
+        # stats_sync(False) chaining works for the host corpus too.  The
+        # loss is the PAIR-WEIGHTED global mean (each batch's st[0] is its
+        # own per-pair mean), matching the device-epoch contract even when
+        # per-batch pair counts differ (ADVICE r4 item 2).
+        loss = jnp.sum(st[:, 0] * st[:, 1]) / jnp.maximum(pairs, 1.0)
         return self._finish_o1(
-            jnp.stack([tot[0] / n, tot[1], tot[2] / n])
+            jnp.stack([loss, pairs, jnp.mean(st[:, 2])])
         )
 
     def o1_epoch(self) -> float:
@@ -1454,8 +1471,15 @@ class ShardedComETrainer(ComETrainer):
 
         lay = self.layout
         # read THIS process's own shard file for the topology metadata —
-        # every file carries it, and a peer's file may still be in flight
+        # every file carries it, and a peer's file may still be in flight.
+        # When restoring onto MORE processes than saved, this process may
+        # have no own file at all; post-save sync_global_devices
+        # guarantees any EXISTING file set is complete, so falling back to
+        # file 0 is race-free at restore time (ADVICE r4 item 1 — the
+        # grow direction used to raise 'pre-elastic format').
         meta = load_checkpoint_meta(path, jax.process_index())
+        if not meta:
+            meta = load_checkpoint_meta(path, 0)
         mine = int(self._perm is not None)
         same = (
             meta.get("process_count") == jax.process_count()

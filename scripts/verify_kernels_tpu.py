@@ -16,6 +16,9 @@ Tiers checked (V chosen NEAR each tier boundary, docs/PERF.md):
   walk-f32        fused_walk_sgns_step, small V + V=90k (f32 VMEM edge ~98k)
   walk-bf16-mxu   bf16 MXU scoring, f32 tables
   walk-bf16-tab   bf16-resident packed tables, small V + V=180k (edge ~196k)
+  walk-paired-o2  paired (edge) mode of the walk kernel
+  star-o2         tied star fan-out O2 kernel (ops/pallas_star_sgns.py)
+  walk-gen-csr    in-kernel walk generation from VMEM CSR
   banded-xla      banded_walk_sgns_step vs the numpy shared-pool oracle
                   (pure XLA — no Mosaic; gates TPU numerics instead)
 
@@ -172,6 +175,39 @@ def main(argv=None) -> int:
         "walk-paired-o2",
         [(hw[0], it[0]), (hw[1], it[1]),
          (float(hw[2]) / max(npw, 1), float(it[2]) / max(npi, 1)),
+         (npw, npi)],
+        3e-5, t0,
+    )
+
+    # ---- star (O2 fan-out) tier: tied single-table staging, metadata
+    # mask with the in-kernel MXU lane->sublane transpose — its own
+    # Mosaic surface (ops/pallas_star_sgns.py) ----
+    t0 = time.perf_counter()
+    from come_tpu.ops.pallas_star_sgns import fused_star_sgns_step
+    from come_tpu.sampling.stars import build_star_layout
+
+    V = 4096
+    ei, _ = tables(V)
+    eu = rng.integers(0, V, 1800).astype(np.int64)
+    ev = (eu + 1 + rng.integers(0, V - 1, 1800)) % V  # no self loops
+    s_np, m_np = build_star_layout(eu, ev, V)
+
+    def run_star(interp):
+        return fused_star_sgns_step(
+            ei, jnp.asarray(s_np), jnp.asarray(m_np),
+            jnp.asarray(rng.integers(0, V, (2, KP)).astype(np.int32)),
+            lr, negw, 0, pool_refresh=2, interpret=interp,
+        )
+
+    rng_state = rng.bit_generator.state
+    hw = run_star(False)
+    rng.bit_generator.state = rng_state  # same pools for both runs
+    it = run_star(True)
+    npw, npi = float(hw[2]), float(it[2])
+    ok &= _check(
+        "star-o2",
+        [(hw[0], it[0]),
+         (float(hw[1]) / max(npw, 1), float(it[1]) / max(npi, 1)),
          (npw, npi)],
         3e-5, t0,
     )

@@ -26,7 +26,10 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch(tier: str, timeout: float = 420.0, checkpoint_dir=None):
+def _launch(
+    tier: str, timeout: float = 420.0, checkpoint_dir=None,
+    elastic_load=None,
+):
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -38,6 +41,8 @@ def _launch(tier: str, timeout: float = 420.0, checkpoint_dir=None):
             if checkpoint_dir
             else []
         )
+        if elastic_load:
+            extra += ["--elastic-load", str(elastic_load)]
         procs.append(
             subprocess.Popen(
                 [
@@ -132,3 +137,47 @@ def test_two_process_sharded_checkpoint_resume(tmp_path):
         np.ascontiguousarray(t.embeddings()).tobytes()
     ).hexdigest()[:16]
     assert got == want, (got, want)
+
+
+def test_elastic_restore_grow_direction(tmp_path):
+    """Elastic restore onto MORE processes than saved (ADVICE r4 item 1):
+    a 1-process checkpoint is loaded by a 2-process run.  Process 1 has
+    no own shard file and must fall back to file 0's topology metadata
+    instead of raising 'pre-elastic format'; both processes must agree on
+    the restored logical-embedding fingerprint, which must equal the
+    saving trainer's."""
+    import hashlib
+
+    import jax
+    import numpy as np
+
+    from come_tpu.config import ComEConfig
+    from come_tpu.graphs import sbm_graph
+    from come_tpu.parallel import ShardedComETrainer, make_mesh
+
+    # save in THIS single process (a (2,2) mesh over 4 virtual devices)
+    g, _ = sbm_graph(256, 4, p_in=0.25, p_out=0.01, seed=7)
+    cfg = ComEConfig(
+        dim=32, num_communities=4, walk_length=16, walks_per_node=2,
+        window=4, negative_mode="shared", shared_negatives=64,
+        pallas="never", banded="never", row_exchange="a2a",
+        batch_walks=32, batch_edges=1024, batch_pairs=2048,
+        outer_iters=0, pretrain_epochs=10, gmm_max_iter=15, reg_covar=1e-2,
+    )
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    t = ShardedComETrainer(g, cfg, mesh)
+    t.o1_epoch()  # a non-initial state so the fingerprint is non-trivial
+    t.save_checkpoint(tmp_path / "state")
+    want = hashlib.sha256(
+        np.ascontiguousarray(t.embeddings()).tobytes()
+    ).hexdigest()[:16]
+    files = sorted(f.name for f in tmp_path.iterdir())
+    assert files == ["state.proc0.npz"], files  # 1-process save
+
+    procs, outs = _launch("xla-a2a", elastic_load=tmp_path / "state")
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"process failed:\n{out[-4000:]}"
+    hashes = [
+        _result_line(o).split("elastichash=")[1].split()[0] for o in outs
+    ]
+    assert hashes == [want, want], (hashes, want)

@@ -417,3 +417,22 @@ def test_walk_gen_kernel_trains():
     assert np.isfinite(first) and losses[-1] < first
     t.fit_gmm()
     assert nmi_score(labels, t.communities()) > 0.5
+
+
+def test_down_sample_tier_downgrade_warns():
+    """down_sample > 0 gates out the fused tiers — that must be LOUD
+    (VERDICT r4 item 6), and the XLA fallback must still train."""
+    import warnings
+
+    g, _ = sbm_graph(512, 4, p_in=0.2, p_out=0.01, seed=3)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        t = ComETrainer(g, _cfg(down_sample=1e-3))
+    assert any("down_sample" in str(x.message) for x in w), [
+        str(x.message) for x in w
+    ]
+    assert not t._use_walk_kernel()
+    # O2 doesn't subsample (edge pass trains every arc), so its fused
+    # tier stays eligible
+    assert t._use_star_o2()
+    assert np.isfinite(t.o1_epoch())
