@@ -857,8 +857,111 @@ class ShardedComETrainer(ComETrainer):
         collisions = 2.0 * NWL * workers / max(self.graph.num_nodes, 1)
         return collisions <= 16.0
 
+    def _use_star_o2(self) -> bool:
+        """Star (fan-out grouped, tied) fused O2 tier under the mesh —
+        data-parallel only: each data shard runs the star kernel on its
+        slice of the packed star rows and the tied delta psums over ICI
+        (same envelope as the dp O1 tier).  model>1 keeps the paired
+        compact-table tier (the a2a exchange machinery is built around
+        the walk kernel's two-table staging).  Tied single-table VMEM
+        residency doubles the V ceiling of the paired dp tier."""
+        cfg = self.cfg
+        if cfg.o2_mode not in ("auto", "star"):
+            return False
+        if self.layout.model_size > 1:
+            return False
+        if cfg.pallas == "never" or cfg.negative_mode != "shared":
+            return False
+        if cfg.pallas != "always" and jax.default_backend() != "tpu":
+            return False
+        budget = getattr(self, "_vmem_budget", 48 * 1024 * 1024)
+        if self.v_pad * cfg.dim * 4 > 2 * budget:
+            return False  # ONE f32 table resident per chip
+        from come_tpu.ops.pallas_star_sgns import NWL
+
+        workers = self.layout.data_size
+        collisions = 2.0 * NWL * workers / max(self.graph.num_nodes, 1)
+        return collisions <= 16.0
+
+    def _o2_star_rows(self):
+        """Star slot/meta layout rows, built once (the edge list is
+        static); epochs shuffle at row granularity — exactly the
+        granularity that matters under group-synchronous updates."""
+        if not hasattr(self, "_star_rows_slots"):
+            from come_tpu.sampling.stars import (
+                build_star_layout,
+                star_layout_stats,
+            )
+
+            u, v = self.graph.edges_undirected()
+            slots, meta = build_star_layout(u, v, self.graph.num_nodes)
+            self._star_pairs = star_layout_stats(slots, meta)["pairs"]
+            self._star_rows_slots = jnp.asarray(
+                slots.reshape(-1, 128), jnp.int32
+            )
+            self._star_rows_meta = jnp.asarray(
+                meta.reshape(-1, 128), jnp.int32
+            )
+        return self._star_rows_slots, self._star_rows_meta
+
+    def _o2_epoch_star(
+        self, state: TrainState, slots_all, meta_all, pairs_per_step
+    ):
+        """shard_map body for the star dp tier: slots/meta_all
+        [S, B_rl, 128] are this data shard's slices of the epoch's
+        row-shuffled star layout; pad rows (meta -2) self-mask, so shards
+        whose slice is partly padding contribute exact zero deltas."""
+        from come_tpu.ops.pallas_star_sgns import NWL, fused_star_sgns_step
+
+        cfg = self.cfg
+        S, B_rl, _ = slots_all.shape
+        interp = cfg.pallas == "always" and jax.default_backend() != "tpu"
+        negw = cfg.negative / cfg.shared_negatives
+        n_groups = -(-(B_rl * 128) // NWL)
+        n_pools = -(-n_groups // cfg.walk_pool_refresh)
+
+        def body(carry, sm):
+            params, key, words = carry
+            slots_s, meta_s = sm
+            dkey = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            key = jax.random.fold_in(key, 9)
+            kn, kp = jax.random.split(dkey)
+            lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
+            sneg = sample_alias(
+                self.accept, self.alias, kn,
+                (n_pools, cfg.shared_negatives),
+            )
+            seed = jax.random.randint(
+                kp, (), 0, 2**31 - 1, dtype=jnp.int32
+            )
+            ne0 = params.node_emb
+            ne, loss, npairs = fused_star_sgns_step(
+                ne0, slots_s.reshape(-1), meta_s.reshape(-1), sneg,
+                lr * cfg.alpha, negw, seed,
+                mxu_bf16=cfg.walk_kernel_bf16,
+                pool_refresh=cfg.walk_pool_refresh, interpret=interp,
+            )
+            # tied delta summed over the data shards (dp O1 envelope)
+            ne = ne0 + jax.lax.psum(ne - ne0, "data")
+            loss = jax.lax.psum(loss, "data")
+            npairs = jax.lax.psum(npairs, "data")
+            params = params.replace(node_emb=ne)
+            words = words + pairs_per_step
+            return (params, key, words), (loss, npairs)
+
+        (params, key, words), (losses, npairs) = jax.lax.scan(
+            body, (state.params, state.key, state.words_seen),
+            (slots_all, meta_all),
+        )
+        state = TrainState(params=params, key=key, words_seen=words)
+        npair = jnp.sum(npairs)
+        loss = jnp.sum(losses) / jnp.maximum(npair, 1.0)
+        return state, jnp.stack([loss, npair, jnp.float32(1.0)])
+
     def o2_tier(self, b_r_local: int | None = None) -> str:
         """Which O2 path the current config/mesh selects (for logs/tests)."""
+        if self._use_star_o2():
+            return "star-o2-dp"
         if self._use_walk_kernel_o2(b_r_local):
             return (
                 "walk-kernel-paired-rowsharded"
@@ -1087,6 +1190,18 @@ class ShardedComETrainer(ComETrainer):
                 self._o2_epoch,
                 mesh=mesh,
                 in_specs=(st, P(None, "data"), P(None, "data")),
+                out_specs=(st, P()),
+                check_vma=False,
+            ),
+            donate_argnums=0,
+        )
+        self._o2_star_jit = jax.jit(
+            shard_map(
+                self._o2_epoch_star,
+                mesh=mesh,
+                in_specs=(
+                    st, P(None, "data", None), P(None, "data", None), P()
+                ),
                 out_specs=(st, P()),
                 check_vma=False,
             ),
@@ -1387,6 +1502,32 @@ class ShardedComETrainer(ComETrainer):
         cfg = self.cfg
         lay = self.layout
         D = lay.data_size
+        if self._use_star_o2():
+            rs, rm = self._o2_star_rows()
+            NR = rs.shape[0]
+            unit = D * 8  # whole kernel groups per data shard per step
+            rps = max(unit, min(-(-cfg.batch_edges // 128), NR))
+            rps = -(-rps // unit) * unit
+            S = -(-NR // rps)
+            self.host_key, k = jax.random.split(self.host_key)
+            perm = jax.random.permutation(k, NR)
+            pad = S * rps - NR
+            ps = jnp.pad(rs[perm], ((0, pad), (0, 0)))
+            pm = jnp.pad(
+                rm[perm], ((0, pad), (0, 0)), constant_values=-2
+            )
+            slots_all = lay.shard(
+                ps.reshape(S, rps, 128), P(None, "data", None)
+            )
+            meta_all = lay.shard(
+                pm.reshape(S, rps, 128), P(None, "data", None)
+            )
+            self._log_tier("o2", "star-o2-dp")
+            self.state, stats = self._o2_star_jit(
+                self.state, slots_all, meta_all,
+                jnp.float32(self._star_pairs / S),
+            )
+            return self._finish_o2(stats)
         if cfg.negative_mode == "shared":
             S, B_r = self._o2_rows_global()
             if self._use_walk_kernel_o2(B_r // D):

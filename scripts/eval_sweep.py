@@ -17,14 +17,39 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def run_one(name: str, fast: bool, mesh_shape: tuple[int, int] | None) -> dict:
+def _heavy_tail_dataset():
+    """dc-SBM stand-in with a power-law degree profile — the degree shape
+    of the real BlogCatalog/Flickr graphs (SURVEY.md C13); stresses the
+    hub-row collision envelope and the star tier's fan-out packing."""
+    from come_tpu.graphs import dc_sbm_graph
+    from come_tpu.graphs.datasets import Dataset
+
+    g, labels = dc_sbm_graph(
+        5000, 12, avg_degree=30.0, exponent=2.5, assortativity=25.0,
+        seed=11,
+    )
+    return Dataset("heavy-tail-dcsbm", g, labels, 12)
+
+
+def run_one(
+    name: str,
+    fast: bool,
+    mesh_shape: tuple[int, int] | None,
+    ratios: bool = False,
+) -> dict:
     from come_tpu.config import PRESETS, ComEConfig
     from come_tpu.evaluation import node_classification_f1
     from come_tpu.graphs import get_dataset
     from come_tpu.trainer import ComETrainer
 
-    ds = get_dataset(name)
-    cfg = PRESETS.get(name.lower().replace("-synthetic", ""), ComEConfig())
+    if name == "heavy-tail-dcsbm":
+        ds = _heavy_tail_dataset()
+        cfg = PRESETS["blogcatalog"]
+    else:
+        ds = get_dataset(name)
+        cfg = PRESETS.get(
+            name.lower().replace("-synthetic", ""), ComEConfig()
+        )
     cfg = cfg.replace(num_communities=ds.num_communities)
     if fast:
         cfg = cfg.replace(
@@ -56,16 +81,29 @@ def run_one(name: str, fast: bool, mesh_shape: tuple[int, int] | None) -> dict:
         "seconds": round(time.time() - t0, 1),
     }
     if ds.labels is not None:
-        f1 = node_classification_f1(tr.embeddings(), ds.labels)
+        emb = tr.embeddings()
+        f1 = node_classification_f1(emb, ds.labels)
         out.update(f1)
+        if ratios:
+            # deepwalk/ComE-paper protocol: F1 at multiple labeled
+            # fractions (evaluation/metrics.py::f1_train_ratio_sweep)
+            from come_tpu.evaluation import f1_train_ratio_sweep
+
+            out["f1_by_train_ratio"] = {
+                str(r): {k: round(v, 4) for k, v in d.items()}
+                for r, d in f1_train_ratio_sweep(emb, ds.labels).items()
+            }
     return out
 
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--datasets", nargs="+",
-                   default=["karate", "dblp", "wikipedia"])
+                   default=["karate", "dblp", "wikipedia"],
+                   help="dataset names, 'heavy-tail-dcsbm', or 'all'")
     p.add_argument("--fast", action="store_true")
+    p.add_argument("--ratios", action="store_true",
+                   help="include the F1 train-ratio sweep per dataset")
     p.add_argument("--json", help="write results JSON here")
     p.add_argument(
         "--mesh",
@@ -78,10 +116,15 @@ def main(argv=None) -> int:
         d, m = (int(x) for x in args.mesh.split(","))
         mesh_shape = (d, m)
 
+    names = args.datasets
+    if names == ["all"]:
+        from come_tpu.graphs.datasets import DATASETS
+
+        names = sorted(DATASETS) + ["heavy-tail-dcsbm"]
     results = []
-    for name in args.datasets:
+    for name in names:
         print(f"=== {name} ===", flush=True)
-        res = run_one(name, args.fast, mesh_shape)
+        res = run_one(name, args.fast, mesh_shape, ratios=args.ratios)
         print(json.dumps(res), flush=True)
         results.append(res)
     if args.json:

@@ -297,13 +297,40 @@ def test_o2_paired_kernel_dp_mesh():
 
     g, _ = sbm_graph(512, 4, p_in=0.2, p_out=0.01, seed=3)
     mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
-    t = ShardedComETrainer(g, _cfg(alpha=1.0), mesh)
+    t = ShardedComETrainer(g, _cfg(alpha=1.0, o2_mode="paired"), mesh)
     assert t.o2_tier() == "walk-kernel-paired-dp"
     first = t.o2_epoch()
     # exact counter: every packed slot (2 arcs/edge, wrapped to the row
     # grid) is trained
     S, B_r = t._o2_rows_global()
     assert t.last_o2_pairs == S * B_r * 128, (t.last_o2_pairs, S, B_r)
+    losses = [t.o2_epoch() for _ in range(7)]
+    assert np.isfinite(first) and losses[-1] < first
+    shards = [
+        np.asarray(s.data)
+        for s in t.state.params.node_emb.addressable_shards
+    ]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+    assert _edge_sim_gap(g, t.embeddings()) > 0.1
+
+
+def test_o2_star_kernel_dp_mesh():
+    """O2 through the STAR tier on a (4,1) data-parallel mesh — the
+    default fast dp tier: star rows sliced over 'data', each shard runs
+    the tied kernel, deltas psum, replicas bit-identical, exact pair
+    counts (pad rows self-mask — no wrap-retraining), quality holds."""
+    import jax
+
+    from come_tpu.parallel import ShardedComETrainer, make_mesh
+
+    g, _ = sbm_graph(512, 4, p_in=0.2, p_out=0.01, seed=3)
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    t = ShardedComETrainer(g, _cfg(alpha=1.0), mesh)
+    assert t.o2_tier() == "star-o2-dp"  # auto prefers star at model=1
+    first = t.o2_epoch()
+    e2 = len(g.edges_undirected()[0])
+    assert t.last_o2_pairs == 2 * e2, (t.last_o2_pairs, e2)
     losses = [t.o2_epoch() for _ in range(7)]
     assert np.isfinite(first) and losses[-1] < first
     shards = [
