@@ -108,6 +108,61 @@ def _rate(trainer, epoch, sync, n1, n2, pairs_attr, reps=3):
     return [pairs / s for s in secs]
 
 
+def _large_v_section(_unused) -> dict:
+    """Full outer iteration at V=500k / K=64 / d=128 on one chip.
+
+    Light slope per phase (n1=1, n2=2, two samples — epochs here are
+    seconds, so the 25ms sync is already noise at n2-n1=1); walks_per_node
+    trimmed to 1 to bound bench wall time (phase RATES are per-pair, so
+    the corpus size only scales the measurement, not the metric).
+    """
+    from come_tpu.config import get_config
+    from come_tpu.graphs import get_dataset
+    from come_tpu.trainer import ComETrainer
+
+    ds = get_dataset("synthetic-10m")
+    cfg = get_config("synthetic-10m").replace(
+        num_communities=ds.num_communities,
+        walks_per_node=1,
+        walk_regen_epochs=0,
+        walk_kernel_bf16=True,
+    )
+    tr = ComETrainer(ds.graph, cfg)
+
+    def flush():
+        float(tr.state.params.node_emb[0, 0])
+
+    def phase_ms(fn, sync):
+        fn()  # warm/compile
+        sync()
+        secs = _slope_samples(fn, sync, 1, 2, reps=2)
+        return statistics.median(secs) * 1e3
+
+    tr.stats_sync(False)
+    phases = {
+        "gmm": phase_ms(tr.fit_gmm, flush),
+        "o1": phase_ms(tr.o1_epoch, lambda: (tr.o1_sync(), flush())),
+        "o2": phase_ms(tr.o2_epoch, lambda: (tr.o2_sync(), flush())),
+        "o3": phase_ms(tr.o3_pass, flush),
+    }
+    tr.stats_sync(True)
+    dt = sum(phases.values()) / 1e3
+    return {
+        "nodes": ds.graph.num_nodes,
+        "edges": ds.graph.num_edges,
+        "o1_tier_pairs_per_s": round(
+            tr.last_o1_pairs / (phases["o1"] / 1e3), 1
+        ),
+        "o2_tier_pairs_per_s": round(
+            tr.last_o2_pairs / (phases["o2"] / 1e3), 1
+        ),
+        "full_loop": round(
+            (tr.last_o1_pairs + tr.last_o2_pairs) / dt, 1
+        ),
+        "phase_ms": {k: round(v, 1) for k, v in phases.items()},
+    }
+
+
 def main() -> None:
     from come_tpu.config import get_config
     from come_tpu.graphs import get_dataset
@@ -199,6 +254,18 @@ def main() -> None:
     full_loop, phases = phase_set(t)
     full_loop_fresh, phases_fresh = phase_set(tf)
 
+    # ---- large_v: the FULL outer iteration at V=500k (BASELINE config
+    # 5's synthetic-10m scale) on one chip — proving the whole
+    # alternating loop, not just O1's banded tier, runs past the VMEM
+    # ceilings (VERDICT r4 item 5).  O1 rides the banded-XLA tier
+    # (HBM-resident tables), O2 the XLA tied path (the fused O2 tiers
+    # are VMEM-gated at this V), GMM/O3 the batched XLA EM/closure.
+    large_v = None
+    try:
+        large_v = _large_v_section(phase_set)
+    except Exception as e:  # noqa: BLE001 — headline must still print
+        large_v = {"error": f"{type(e).__name__}: {e}"}
+
     baseline = 6.25e7  # 1e9 / 16 chips (v5e-16), BASELINE.json:5
     print(
         json.dumps(
@@ -220,6 +287,7 @@ def main() -> None:
                 "phase_ms_fresh": phases_fresh,
                 "pairs_per_epoch": round(t.last_o1_pairs, 1),
                 "o2_pairs_per_epoch": round(t.last_o2_pairs, 1),
+                "large_v": large_v,
             }
         )
     )

@@ -406,7 +406,7 @@ class ShardedComETrainer(ComETrainer):
 
         cfg = self.cfg
         if b_local is None:
-            n_starts = self.v_real * cfg.walks_per_node
+            n_starts = len(self.walk_starts) * cfg.walks_per_node
             b_global = max(1, min(cfg.batch_walks, n_starts))
             b_local = max(1, b_global // self.layout.data_size)
         b_w = max(1, b_local // self.layout.model_size)
@@ -1347,10 +1347,11 @@ class ShardedComETrainer(ComETrainer):
         n_batches = math.ceil(v * cfg.walks_per_node / B)
         rows, _ = self._data_rows_local()
         if self._host_feeder is None:
-            splits = np.array_split(np.arange(v, dtype=np.int32), D)
+            # split the NON-ISOLATED starts (walk_starts) over data rows
+            splits = np.array_split(self.walk_starts, D)
             nodes = np.concatenate([splits[r] for r in rows])
             if nodes.size == 0:  # more data rows than nodes: walk any
-                nodes = np.arange(v, dtype=np.int32)
+                nodes = self.walk_starts
             self._host_feeder = HostWalkFeeder(
                 self.graph,
                 batch=(B // D) * len(rows),
@@ -1389,13 +1390,16 @@ class ShardedComETrainer(ComETrainer):
         # walk batches divide over 'data'; the row-sharded walk-kernel tier
         # additionally slices each data shard's walks over 'model'
         g = D * lay.model_size
-        n_starts = v * cfg.walks_per_node
+        # starts exclude isolated nodes (reference: degree-0 walks train
+        # nothing — see ComETrainer.__init__'s walk_starts note)
+        n_starts = len(self.walk_starts) * cfg.walks_per_node
         B = min(cfg.batch_walks, n_starts)
         B = max(g, (B // g) * g)
         S = math.ceil(n_starts / B)
         self.host_key, k = jax.random.split(self.host_key)
         perm = jax.random.permutation(
-            k, jnp.tile(jnp.arange(v, dtype=jnp.int32), cfg.walks_per_node)
+            k,
+            jnp.tile(jnp.asarray(self.walk_starts), cfg.walks_per_node),
         )
         perm = jnp.resize(perm, (S, B))
         perm = lay.shard(perm, P(None, "data"))

@@ -102,6 +102,21 @@ class ComETrainer:
         src, dst = graph.arcs()
         self.arc_src = jnp.asarray(src)
         self.arc_dst = jnp.asarray(dst)
+        # Walk STARTS exclude isolated nodes.  The reference's
+        # ``random_walk`` yields a length-1 walk at a degree-0 node — no
+        # trainable pairs (deepwalk lineage [R], SURVEY.md C3) — whereas
+        # the static-shape device walker keeps the node in place, which
+        # would hand the group-synchronous kernels a STATIONARY walk:
+        # ~L*W copies of the same self-pair summed into one row update
+        # per group, which measurably diverges on sparse graphs (the
+        # dblp stand-in blew up its 11 isolated nodes' rows to 1e3 norms
+        # and NaN'd the GMM — caught by the round-5 EVAL sweep).
+        # Isolated nodes can never be REACHED (no in-edges), so start
+        # filtering alone restores reference semantics.
+        ws = np.flatnonzero(np.asarray(degrees) > 0).astype(np.int32)
+        self.walk_starts = (
+            ws if ws.size else np.arange(graph.num_nodes, dtype=np.int32)
+        )
 
         key = jax.random.key(config.seed) if key is None else key
         k_init, self.host_key = jax.random.split(key)
@@ -237,7 +252,7 @@ class ComETrainer:
     def _word_budget(self) -> float:
         """Total center-word count for the global linear LR decay."""
         cfg = self.cfg
-        v, e = self.graph.num_nodes, self.graph.num_arcs
+        v, e = len(self.walk_starts), self.graph.num_arcs
         o1_epochs = cfg.pretrain_epochs + cfg.outer_iters * cfg.o1_epochs_per_iter
         o2_epochs = cfg.outer_iters * cfg.o2_epochs_per_iter
         return (
@@ -584,13 +599,15 @@ class ComETrainer:
         cfg = self.cfg
         if cfg.corpus == "host":
             return self._o1_epoch_host()
-        v = self.graph.num_nodes
-        B = min(cfg.batch_walks, v * cfg.walks_per_node)
-        n_starts = v * cfg.walks_per_node
+        n_starts = len(self.walk_starts) * cfg.walks_per_node
+        B = min(cfg.batch_walks, n_starts)
         S = math.ceil(n_starts / B)
         self.host_key, k = jax.random.split(self.host_key)
         perm = jax.random.permutation(
-            k, jnp.tile(jnp.arange(v, dtype=jnp.int32), cfg.walks_per_node)
+            k,
+            jnp.tile(
+                jnp.asarray(self.walk_starts), cfg.walks_per_node
+            ),
         )
         perm = jnp.resize(perm, (S, B))  # wraps the tail batch
         if self._use_walk_kernel_gen() and cfg.walk_regen_epochs == 1:
@@ -662,13 +679,13 @@ class ComETrainer:
         from come_tpu.native import HostWalkFeeder
 
         cfg = self.cfg
-        v = self.graph.num_nodes
+        v = len(self.walk_starts)  # no walks from isolated nodes
         B = min(cfg.batch_walks, v)
         n_batches = math.ceil(v * cfg.walks_per_node / B)
         if self._host_feeder is None:
             self._host_feeder = HostWalkFeeder(
                 self.graph, batch=B, length=cfg.walk_length, seed=cfg.seed,
-                restart_prob=cfg.restart_prob,
+                restart_prob=cfg.restart_prob, nodes=self.walk_starts,
             )
         stats = []
         for _ in range(n_batches):

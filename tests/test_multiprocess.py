@@ -16,6 +16,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow  # subprocess pairs, ~1-3 min each
+
 REPO = Path(__file__).resolve().parent.parent
 SCRIPT = REPO / "scripts" / "multiproc_train.py"
 

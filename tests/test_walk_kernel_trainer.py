@@ -463,3 +463,38 @@ def test_down_sample_tier_downgrade_warns():
     # tier stays eligible
     assert t._use_star_o2()
     assert np.isfinite(t.o1_epoch())
+
+
+def test_isolated_nodes_never_walked_or_updated():
+    """Graphs with isolated nodes (the dblp stand-in has 11) must not
+    blow up: the reference's random_walk yields a length-1 walk there
+    (zero trainable pairs), while a static-shape stationary walk would
+    sum ~L*W identical self-pair updates per group and measurably
+    diverge (norms 1e3+ then GMM NaN — the round-5 EVAL-sweep find).
+    Start filtering restores reference semantics; isolated rows carry
+    zero unigram mass, so their rows must stay EXACTLY at init."""
+    from come_tpu.graphs import CSRGraph, sbm_graph
+
+    g0, _ = sbm_graph(496, 4, p_in=0.2, p_out=0.01, seed=3)
+    # append 16 isolated nodes
+    V = g0.num_nodes + 16
+    indptr = np.concatenate(
+        [g0.indptr, np.full(16, g0.indptr[-1], g0.indptr.dtype)]
+    )
+    g = CSRGraph(indptr=indptr, indices=g0.indices)
+    assert g.num_nodes == V
+    t = ComETrainer(g, _cfg())
+    assert len(t.walk_starts) == g0.num_nodes
+    assert t._use_walk_kernel()
+    init = np.asarray(t.state.params.node_emb)[g0.num_nodes:].copy()
+    for _ in range(4):
+        loss = t.o1_epoch()
+        assert np.isfinite(loss)
+    t.o2_epoch()
+    emb = np.asarray(t.state.params.node_emb)
+    ctx = np.asarray(t.state.params.ctx_emb)
+    assert np.isfinite(emb).all() and np.isfinite(ctx).all()
+    assert np.abs(emb).max() < 10.0 and np.abs(ctx).max() < 10.0
+    # isolated rows: no walks, no edges, no negative-sampling mass
+    np.testing.assert_array_equal(emb[g0.num_nodes:], init)
+    np.testing.assert_array_equal(ctx[g0.num_nodes:], 0.0)
