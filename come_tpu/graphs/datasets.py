@@ -46,10 +46,21 @@ class Dataset:
 # Published sizes for the reference's datasets (SURVEY.md C13), used both for
 # .mat loading (community count) and for the synthetic stand-ins.
 _MAT_SPECS = {
-    "blogcatalog": dict(nodes=10312, communities=39, avg_degree=64.8),
-    "wikipedia": dict(nodes=4777, communities=40, avg_degree=38.7),
-    "flickr": dict(nodes=80513, communities=195, avg_degree=146.6),
-    "dblp": dict(nodes=13184, communities=5, avg_degree=7.2),
+    # p_out calibration: the SBM's cross-community rate must SHRINK with
+    # V for the community signal to survive — at a fixed p_out the
+    # cross-edge mass grows ~V while within mass stays ~community size.
+    # Flickr at the old shared p_out=0.005 generated 91% cross edges
+    # (within-edge fraction 0.093), making NMI ~0.17 a property of the
+    # DATA, not the trainer; 5e-4 restores a within fraction (~0.5)
+    # comparable to the smaller stand-ins (~0.35).
+    "blogcatalog": dict(nodes=10312, communities=39, avg_degree=64.8,
+                        p_out=0.005),
+    "wikipedia": dict(nodes=4777, communities=40, avg_degree=38.7,
+                      p_out=0.005),
+    "flickr": dict(nodes=80513, communities=195, avg_degree=146.6,
+                   p_out=0.0005),
+    "dblp": dict(nodes=13184, communities=5, avg_degree=7.2,
+                 p_out=0.005),
 }
 
 
@@ -77,7 +88,7 @@ def _load_mat_or_synthetic(name: str, seed: int = 0) -> Dataset:
         seed=seed,
         avg_degree=spec["avg_degree"],
         p_in=0.1,
-        p_out=0.005,
+        p_out=spec["p_out"],
     )
     return Dataset(f"{name}-synthetic", g, labels, spec["communities"])
 

@@ -455,17 +455,40 @@ class ComETrainer:
         loss = jnp.sum(losses) / jnp.maximum(npair, 1.0)
         return state, jnp.stack([loss, npair])
 
+    # walker chunk width: one epoch-wide call is fastest for small
+    # corpora (the walker is per-step-latency bound, so one S*B-wide
+    # scan costs ~one B-wide scan), but its per-unrolled-step [1, S*B]
+    # remat copies carry a 128x tile-padding expansion that reaches
+    # GBs at multi-million-walk epochs — measured 24.4G HBM demand and
+    # a compile OOM at 5M walks / V=500k (synthetic-10m, round-5 EVAL
+    # sweep).  Chunking bounds the temporaries; walks themselves are
+    # param-independent so the split is semantics-free.
+    _WALK_GEN_CHUNK = 262144
+
     def _gen_epoch_walks(self, key, start_perm: jnp.ndarray) -> jnp.ndarray:
-        """Generate the WHOLE epoch's walks in one batched call: the walker
-        is a length-L scan of small gathers whose cost is per-step latency,
-        not bandwidth, so one S*B-wide scan costs ~one B-wide scan.  Walks
-        are param-independent, so hoisting out of the SGD scan is
-        semantics-free."""
+        """Generate the WHOLE epoch's walks, hoisted out of the SGD scan,
+        in bounded-width walker calls (see _WALK_GEN_CHUNK)."""
         S, B = start_perm.shape
-        return random_walks(
-            self.csr, start_perm.reshape(S * B), self.cfg.walk_length, key,
-            restart_prob=self.cfg.restart_prob,
-        ).reshape(S, B, self.cfg.walk_length)
+        L = self.cfg.walk_length
+        C = self._WALK_GEN_CHUNK
+        if S * B <= C:
+            return random_walks(
+                self.csr, start_perm.reshape(S * B), L, key,
+                restart_prob=self.cfg.restart_prob,
+            ).reshape(S, B, L)
+        n = -(-(S * B) // C)
+        flat = jnp.resize(start_perm.reshape(S * B), (n, C))
+        keys = jax.random.split(key, n)
+
+        def one(xs):
+            k, starts = xs
+            return random_walks(
+                self.csr, starts, L, k,
+                restart_prob=self.cfg.restart_prob,
+            )
+
+        walks = jax.lax.map(one, (keys, flat))  # [n, C, L]
+        return walks.reshape(n * C, L)[: S * B].reshape(S, B, L)
 
     def _o1_epoch(self, state: TrainState, start_perm: jnp.ndarray):
         """start_perm int32 [S, B]: per-step walk origins."""
@@ -881,6 +904,76 @@ class ComETrainer:
         loss = jnp.sum(losses) / jnp.maximum(npair, 1.0)
         return state, jnp.stack([loss, npair])
 
+    def _use_banded_star_o2(self) -> bool:
+        """Star fan-out O2 at XLA level with the tied table in HBM
+        (losses/star_banded.py) — the large-V edge-pass tier for graphs
+        past the fused star kernel's VMEM ceiling, mirroring the O1
+        banded tier's role.  Checked only when the fused star tier is
+        ineligible."""
+        cfg = self.cfg
+        if cfg.o2_mode not in ("auto", "star"):
+            return False
+        if cfg.banded == "never" or cfg.negative_mode != "shared":
+            return False
+        if cfg.banded != "always" and jax.default_backend() != "tpu":
+            return False
+        # block-synchronous collision envelope (banded-O1 convention;
+        # block = 512 layout rows x 128 slots)
+        collisions = 2.0 * 512 * 128 / max(self.graph.num_nodes, 1)
+        return cfg.banded == "always" or collisions <= 16.0
+
+    def _o2_epoch_star_banded(
+        self,
+        state: TrainState,
+        rows_slots: jnp.ndarray,
+        rows_meta: jnp.ndarray,
+        pairs_per_step: float,
+        steps: int,
+        rows_per_step: int,
+    ):
+        """Banded-star O2 epoch: same row-shuffled macro-step scan as the
+        fused star tier, with the HBM-table XLA step inside."""
+        from come_tpu.losses.star_banded import star_banded_sgns_step
+
+        cfg = self.cfg
+        key, kperm = jax.random.split(state.key)
+        NR = rows_slots.shape[0]
+        perm = jax.random.permutation(kperm, NR)
+        pad_rows = steps * rows_per_step - NR
+        ps = jnp.pad(rows_slots[perm], ((0, pad_rows), (0, 0)))
+        pm = jnp.pad(
+            rows_meta[perm], ((0, pad_rows), (0, 0)), constant_values=-2
+        )
+        slots_all = ps.reshape(steps, rows_per_step, 128)
+        meta_all = pm.reshape(steps, rows_per_step, 128)
+
+        def body(carry, sm):
+            params, key, words = carry
+            slots_s, meta_s = sm
+            key, kn = jax.random.split(key)
+            lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
+            sneg = sample_alias(
+                self.accept, self.alias, kn, (cfg.shared_negatives,)
+            )
+            ne, loss, npairs = star_banded_sgns_step(
+                params.node_emb, slots_s, meta_s, sneg, lr * cfg.alpha,
+                cfg.negative / cfg.shared_negatives,
+                mxu_bf16=cfg.walk_kernel_bf16,
+                sorted_scatter=cfg.banded_sorted_scatter,
+            )
+            params = params.replace(node_emb=ne)
+            words = words + jnp.float32(pairs_per_step)
+            return (params, key, words), (loss, npairs)
+
+        (params, key, words), (losses, npairs) = jax.lax.scan(
+            body, (state.params, key, state.words_seen),
+            (slots_all, meta_all),
+        )
+        state = TrainState(params=params, key=key, words_seen=words)
+        npair = jnp.sum(npairs)
+        loss = jnp.sum(losses) / jnp.maximum(npair, 1.0)
+        return state, jnp.stack([loss, npair])
+
     def _o2_epoch_kernel(self, state: TrainState, rows_all: jnp.ndarray):
         """Kernel O2 epoch: rows_all int32 [S, B_r, 128], each row 64
         edges interleaved [u0, v0, u1, v1, ...].  The kernel runs with
@@ -988,6 +1081,21 @@ class ComETrainer:
             rps = -(-rps // 8) * 8
             steps = -(-NR // rps)
             self.state, stats = self._o2_star_jit(
+                self.state, rs, rm,
+                float(self._star_pairs) / steps, steps, rps,
+            )
+            return self._finish_o2(stats)
+        if self._use_banded_star_o2():
+            rs, rm = self._star_layout()
+            if not hasattr(self, "_o2_star_banded_jit"):
+                self._o2_star_banded_jit = jax.jit(
+                    self._o2_epoch_star_banded, donate_argnums=0,
+                    static_argnums=(3, 4, 5),
+                )
+            NR = rs.shape[0]
+            rps = max(8, min(-(-cfg.batch_edges // 128), NR))
+            steps = -(-NR // rps)
+            self.state, stats = self._o2_star_banded_jit(
                 self.state, rs, rm,
                 float(self._star_pairs) / steps, steps, rps,
             )

@@ -284,6 +284,34 @@ def main(argv=None) -> int:
     ]
     ok &= _check("banded-xla", pairs, 2e-3, t0)
 
+    # ---- banded-star O2 tier: pure XLA (HBM tied table), gate TPU
+    # numerics vs the same numpy block oracle the CPU tests use ----
+    t0 = time.perf_counter()
+    from come_tpu.losses.star_banded import star_banded_sgns_step
+    from tests.test_star_banded import ref_block
+
+    V = 2048
+    ei, _ = tables(V)
+    eu = rng.integers(0, V, 900).astype(np.int64)
+    ev = (eu + 1 + rng.integers(0, V - 1, 900)) % V
+    s_np, m_np = build_star_layout(eu, ev, V)
+    srows = s_np.reshape(-1, 128)
+    mrows = m_np.reshape(-1, 128)
+    pool = rng.integers(0, V, KP).astype(np.int32)
+    ni, loss, npairs = star_banded_sgns_step(
+        ei, jnp.asarray(srows), jnp.asarray(mrows), jnp.asarray(pool),
+        lr, negw, row_block=srows.shape[0], mxu_bf16=False,
+    )
+    e = np.asarray(ei).copy()
+    o_loss, o_np = ref_block(e, srows, mrows, pool, lr, negw)
+    ok &= _check(
+        "star-banded-xla",
+        [(ni, e),
+         (float(loss) / max(float(npairs), 1), o_loss / max(o_np, 1)),
+         (float(npairs), float(o_np))],
+        2e-3, t0,
+    )
+
     print("ALL PASS" if ok else "FAILURES — do not trust bench numbers")
     return 0 if ok else 1
 

@@ -44,7 +44,54 @@ def pytest_configure(config):
     )
 
 
+# Tests measured >= ~9 s on the round-5 durations capture (full-suite
+# wall 24:45): marked slow centrally so the DEFAULT `pytest -q` tier
+# (pytest.ini addopts excludes -m slow) stays a short edit-test loop.
+# Subprocess suites mark themselves via module-level pytestmark.
+# Run the FULL suite with `-m ""`.
+SLOW_TESTS = {
+    "test_walk_gen_kernel_trains",
+    "test_walk_kernel_rowsharded_matches_xla_quality",
+    "test_walk_kernel_data_parallel_mesh",
+    "test_walk_kernel_dp_bf16_tables",
+    "test_walk_kernel_rowsharded_trains",
+    "test_walk_kernel_selected_and_trains",
+    "test_o2_paired_kernel_rowsharded_trains",
+    "test_o2_paired_kernel_dp_mesh",
+    "test_o2_star_kernel_dp_mesh",
+    "test_o2_star_kernel_selected_and_trains",
+    "test_isolated_nodes_never_walked_or_updated",
+    "test_rowsharded_a2a_heavy_tail_capacity",
+    "test_walk_kernel_trains_on_heavy_tail",
+    "test_banded_rowsharded_heavy_tail",
+    "test_host_corpus_sharded_mesh",
+    "test_host_corpus_routes_through_walk_kernel",
+    "test_parity_passes_on_karate",
+    "test_gen_mode_matches_pregenerated_walks",
+    "test_walk_kernel_bf16_close_to_f32",
+    "test_walk_kernel_bf16_tables_rtn",
+    "test_exchange_overlap_ab_scalar",
+    "test_sharded_shared_negatives_mode",
+    "test_sharded_checkpoint_roundtrip",
+    "test_sharded_karate_trains",
+    "test_elastic_checkpoint_restore",
+    "test_sharded_a2a_trains_and_matches_quality",
+    "test_determinism_same_seed",
+    "test_checkpoint_resume_bit_exact",
+    "test_banded_dp_tier_trains",
+    "test_banded_selected_at_large_v",
+    "test_banded_rowsharded_tier_trains",
+    "test_full_loop_through_fused_kernels",
+    "test_fixture_trains_end_to_end",
+}
+
+
 def pytest_collection_modifyitems(config, items):
+    slow = pytest.mark.slow
+    for item in items:
+        base = getattr(item, "originalname", None) or item.name
+        if base in SLOW_TESTS:
+            item.add_marker(slow)
     if _TPU_OPT_IN:
         return
     skip = pytest.mark.skip(reason="TPU hardware test (set COME_TPU_TESTS=1)")
