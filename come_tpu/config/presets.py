@@ -83,6 +83,16 @@ class ComEConfig:
     # measured ~1.5x faster at SBM-like duplication; turn on for
     # heavy-hub power-law batches.
     banded_sorted_scatter: bool = False
+    # banded-tier pool stability bound: max walk SLOTS served by one
+    # fresh negative pool.  Every trained pair adds ~negative/KP of
+    # gradient mass to EVERY pool row; applying a whole 1024-walk
+    # block's mass (~2000 stale unit-gradients/row at KP=2048) from one
+    # pool measurably diverges at synthetic-10m scale (exponential
+    # mean-drift onset ~300 macro steps — docs/PERF.md round-5 note).
+    # The effective banded block is min(banded_walk_block,
+    # banded_pool_slots / walk_length), each block drawing a FRESH pool
+    # — the banded analog of the fused kernel's walk_pool_refresh bound.
+    banded_pool_slots: int = 20480
     # fresh-walk generation strategy when the fused walk kernel runs:
     # "scan" = the lax.scan device walker feeds the kernel; "kernel" =
     # walks are generated INSIDE the fused kernel from VMEM-resident CSR

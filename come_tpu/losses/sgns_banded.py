@@ -177,14 +177,28 @@ def banded_walk_sgns_step_packed(
         )
     else:
         wrows = jnp.full((G, Bc, L), window, jnp.int32)
-    pool = shared_negs.astype(jnp.int32)
+    # pools: [KP] (one set of ids for every block — legacy) or [G, KP]
+    # (a FRESH pool per block).  Fresh pools matter for stability at
+    # scale: each trained pair adds ~k/KP of gradient mass to EVERY pool
+    # row, so one pool serving a whole macro step concentrates
+    # pairs_per_step*k/KP stale unit-gradients per row — measured
+    # exponentially divergent at synthetic-10m (2093 units/row at
+    # KP=2048; docs/PERF.md round-5 stability note).  Per-block fresh
+    # draws spread the same calibrated mass over G*KP rows.
+    pool_g = shared_negs.astype(jnp.int32)
+    if pool_g.ndim == 1:
+        pool_g = jnp.broadcast_to(pool_g, (G,) + pool_g.shape)
+    elif pool_g.shape[0] != G:
+        raise ValueError(
+            f"per-block pools: got {pool_g.shape[0]} for {G} blocks"
+        )
     scatter = scatter_add_rows_sorted if sorted_scatter else scatter_add_rows
     lr = jnp.asarray(lr, jnp.float32)
     d = combo.shape[1] // 2
 
     def block(carry, xs):
         cmb = carry
-        w, wr = xs  # [Bc, L], [Bc, L]
+        w, wr, pool = xs  # [Bc, L], [Bc, L], [KP]
         flat = w.reshape(Bc * L)
         rows = jnp.take(cmb, flat, axis=0).reshape(Bc, L, 2 * d)
         phi = rows[:, :, :d]
@@ -203,7 +217,9 @@ def banded_walk_sgns_step_packed(
         cmb = scatter(cmb, pool, pool_upd * (-lr))
         return cmb, (loss, npairs)
 
-    combo, (losses, npairs) = jax.lax.scan(block, combo, (walks_g, wrows))
+    combo, (losses, npairs) = jax.lax.scan(
+        block, combo, (walks_g, wrows, pool_g)
+    )
     return combo, jnp.sum(losses), jnp.sum(npairs)
 
 

@@ -583,18 +583,40 @@ class ShardedComETrainer(ComETrainer):
         cfg = self.cfg
         # this runs INSIDE shard_map: start_perm is already the local slice
         S, B_local = start_perm.shape
-        # whole-epoch walk generation in one batched call (see the base
-        # trainer: the walker is dispatch-latency bound, so one wide scan
-        # costs ~one narrow scan); decorrelated across data shards
+        # whole-epoch walk generation, hoisted but CHUNKED: one wide scan
+        # costs ~one narrow scan (dispatch-latency bound), but its
+        # [1, S*B] remat copies carry a 128x tile-padding expansion that
+        # OOMs at multi-million-walk epochs (see the base trainer's
+        # _WALK_GEN_CHUNK note); decorrelated across data shards
         kw_all = jax.random.fold_in(
             jax.random.fold_in(state.key, 11), jax.lax.axis_index("data")
         )
         state = state.replace(key=jax.random.fold_in(state.key, 12))
-        walks_all = random_walks(
-            self.csr, start_perm.reshape(S * B_local), cfg.walk_length,
-            kw_all, restart_prob=cfg.restart_prob,
-        ).reshape(S, B_local, cfg.walk_length)
-        return self._o1_from_walks(state, walks_all)
+        L = cfg.walk_length
+        C = self._WALK_GEN_CHUNK
+        flat_starts = start_perm.reshape(S * B_local)
+        if S * B_local <= C:
+            walks_all = random_walks(
+                self.csr, flat_starts, L, kw_all,
+                restart_prob=cfg.restart_prob,
+            )
+        else:
+            n = -(-(S * B_local) // C)
+            fl = jnp.resize(flat_starts, (n, C))
+            keys = jax.random.split(kw_all, n)
+
+            def one(xs):
+                k, st = xs
+                return random_walks(
+                    self.csr, st, L, k, restart_prob=cfg.restart_prob
+                )
+
+            walks_all = jax.lax.map(one, (keys, fl)).reshape(n * C, L)[
+                : S * B_local
+            ]
+        return self._o1_from_walks(
+            state, walks_all.reshape(S, B_local, L)
+        )
 
     def _o1_from_walks(self, state: TrainState, walks_all: jnp.ndarray):
         """shard_map body: walks_all [S, B_local, L] is this data shard's
@@ -662,11 +684,17 @@ class ShardedComETrainer(ComETrainer):
                     self.accept, self.alias, kpool,
                     (cfg.shared_negatives,),
                 )
+                # pool-stability slot bound per block application
+                # (banded_pool_slots; docs/PERF.md round-5 note)
+                bc = min(
+                    cfg.banded_walk_block,
+                    max(1, cfg.banded_pool_slots // cfg.walk_length),
+                )
                 ne, loss, npairs, served = banded_walk_step_rowsharded(
                     params.node_emb, wk, sneg, lr,
                     cfg.negative / cfg.shared_negatives, kwin,
                     window=cfg.window,
-                    walk_block=cfg.banded_walk_block,
+                    walk_block=bc,
                     capacity_slack=cfg.a2a_capacity_slack,
                     mxu_bf16=cfg.walk_kernel_bf16,
                     overlap=self._overlap_on(banded=True),
@@ -681,16 +709,23 @@ class ShardedComETrainer(ComETrainer):
                 kpool, kwin = jax.random.split(
                     jax.random.fold_in(dkey, 7919)
                 )
+                # per-block FRESH pools under the stability slot bound
+                # (banded_pool_slots; docs/PERF.md round-5 note)
+                bc = min(
+                    cfg.banded_walk_block,
+                    max(1, cfg.banded_pool_slots // cfg.walk_length),
+                )
+                n_blocks = -(-B_local // min(bc, B_local))
                 sneg = sample_alias(
                     self.accept, self.alias, kpool,
-                    (cfg.shared_negatives,),
+                    (n_blocks, cfg.shared_negatives),
                 )
                 cmb0 = params.node_emb  # packed, replicated at model=1
                 cmb1, loss, npairs = banded_walk_sgns_step_packed(
                     cmb0, walks, sneg, lr,
                     cfg.negative / cfg.shared_negatives, kwin,
                     window=cfg.window,
-                    walk_block=cfg.banded_walk_block,
+                    walk_block=bc,
                     mxu_bf16=cfg.walk_kernel_bf16,
                     sorted_scatter=cfg.banded_sorted_scatter,
                 )

@@ -568,14 +568,22 @@ class ComETrainer:
                 )
 
                 kpool, kwin = jax.random.split(kn)
+                # block bounded by the pool-stability slot budget, one
+                # FRESH pool per block (see banded_pool_slots)
+                bc = min(
+                    cfg.banded_walk_block,
+                    max(1, cfg.banded_pool_slots // cfg.walk_length),
+                )
+                n_blocks = -(-B // min(bc, B))
                 sneg = sample_alias(
-                    self.accept, self.alias, kpool, (cfg.shared_negatives,)
+                    self.accept, self.alias, kpool,
+                    (n_blocks, cfg.shared_negatives),
                 )
                 ne, loss, npairs = banded_walk_sgns_step_packed(
                     params.node_emb, walks, sneg, lr,
                     cfg.negative / cfg.shared_negatives, kwin,
                     window=cfg.window,
-                    walk_block=cfg.banded_walk_block,
+                    walk_block=bc,
                     mxu_bf16=cfg.walk_kernel_bf16,
                     sorted_scatter=cfg.banded_sorted_scatter,
                 )
