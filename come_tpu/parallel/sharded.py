@@ -583,6 +583,21 @@ class ShardedComETrainer(ComETrainer):
         cfg = self.cfg
         # this runs INSIDE shard_map: start_perm is already the local slice
         S, B_local = start_perm.shape
+        L = cfg.walk_length
+        rowsharded = (
+            self._use_walk_kernel(B_local) and self.layout.model_size > 1
+        )
+        if S * B_local * L > self._WALK_STREAM_ELEMS and not rowsharded:
+            # large corpora STREAM per-step generation inside the SGD
+            # scan (no epoch corpus in HBM — see the base trainer's
+            # _WALK_STREAM_ELEMS note; a 1.6GB materialized corpus
+            # crashed the TPU worker runtime).  The rowsharded tier's
+            # exchange planner wants the materialized [S, B, L] form —
+            # its per-shard corpora are /D/M smaller, so the chunked
+            # path below covers it.
+            return self._o1_from_walks(
+                state, start_perm, gen_from_starts=True
+            )
         # whole-epoch walk generation, hoisted but CHUNKED: one wide scan
         # costs ~one narrow scan (dispatch-latency bound), but its
         # [1, S*B] remat copies carry a 128x tile-padding expansion that
@@ -592,7 +607,6 @@ class ShardedComETrainer(ComETrainer):
             jax.random.fold_in(state.key, 11), jax.lax.axis_index("data")
         )
         state = state.replace(key=jax.random.fold_in(state.key, 12))
-        L = cfg.walk_length
         C = self._WALK_GEN_CHUNK
         flat_starts = start_perm.reshape(S * B_local)
         if S * B_local <= C:
@@ -618,12 +632,22 @@ class ShardedComETrainer(ComETrainer):
             state, walks_all.reshape(S, B_local, L)
         )
 
-    def _o1_from_walks(self, state: TrainState, walks_all: jnp.ndarray):
+    def _o1_from_walks(
+        self,
+        state: TrainState,
+        walks_all: jnp.ndarray,
+        gen_from_starts: bool = False,
+    ):
         """shard_map body: walks_all [S, B_local, L] is this data shard's
         corpus (device-generated by :meth:`_o1_epoch`, or host-fed by
-        :meth:`_o1_epoch_host` one macro batch at a time)."""
+        :meth:`_o1_epoch_host` one macro batch at a time) — or, with
+        ``gen_from_starts``, [S, B_local] per-step walk ORIGINS (the
+        large-corpus streaming mode, base trainer's _WALK_STREAM_ELEMS)."""
         cfg = self.cfg
-        S, B_local, _L = walks_all.shape
+        if gen_from_starts:
+            S, B_local = walks_all.shape
+        else:
+            S, B_local, _L = walks_all.shape
         B_global = B_local * self.layout.data_size
         use_walk_kernel = self._use_walk_kernel(B_local)
         rowsharded = use_walk_kernel and self.layout.model_size > 1
@@ -669,6 +693,11 @@ class ShardedComETrainer(ComETrainer):
             interp = (cfg.pallas == "always"
                       and jax.default_backend() != "tpu")
             served = jnp.float32(1.0)
+            if gen_from_starts:  # streaming mode: xs rows are origins
+                walks = random_walks(
+                    self.csr, walks, cfg.walk_length, kw,
+                    restart_prob=cfg.restart_prob,
+                )
             if use_banded and self.layout.model_size > 1:
                 from come_tpu.parallel.walk_exchange import (
                     banded_walk_step_rowsharded,

@@ -490,15 +490,36 @@ class ComETrainer:
         walks = jax.lax.map(one, (keys, flat))  # [n, C, L]
         return walks.reshape(n * C, L)[: S * B].reshape(S, B, L)
 
+    # corpus elements (S*B*L) beyond which the epoch STREAMS walk
+    # generation inside the SGD scan instead of materializing the whole
+    # corpus: a 1.6GB epoch corpus (synthetic-10m at walks_per_node=10)
+    # reproducibly crashed the TPU worker runtime, while the identical
+    # math with per-step generation ran stably for 2500+ macro steps
+    # (round-5 probes).  Streaming also drops the corpus HBM entirely.
+    _WALK_STREAM_ELEMS = 1 << 27  # ~512MB of i32
+
     def _o1_epoch(self, state: TrainState, start_perm: jnp.ndarray):
         """start_perm int32 [S, B]: per-step walk origins."""
+        S, B = start_perm.shape
+        if S * B * self.cfg.walk_length > self._WALK_STREAM_ELEMS:
+            return self._o1_epoch_from_walks(
+                state, start_perm, gen_from_starts=True
+            )
         key, kw_all = jax.random.split(state.key)
         state = state.replace(key=key)
         walks_all = self._gen_epoch_walks(kw_all, start_perm)
         return self._o1_epoch_from_walks(state, walks_all)
 
-    def _o1_epoch_from_walks(self, state: TrainState, walks_all: jnp.ndarray):
-        """walks_all int32 [S, B, L]: the epoch's corpus (fresh or cached)."""
+    def _o1_epoch_from_walks(
+        self,
+        state: TrainState,
+        walks_all: jnp.ndarray,
+        gen_from_starts: bool = False,
+    ):
+        """walks_all int32 [S, B, L]: the epoch's corpus (fresh or
+        cached) — or, with ``gen_from_starts``, int32 [S, B] per-step
+        walk ORIGINS, each step generating its own walks inside the scan
+        (the large-corpus streaming mode; see _WALK_STREAM_ELEMS)."""
         cfg = self.cfg
         B = walks_all.shape[1]
 
@@ -529,6 +550,11 @@ class ComETrainer:
             params, key, words = carry
             key, kw, kp, kn = jax.random.split(key, 4)
             lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
+            if gen_from_starts:  # streaming mode: xs rows are origins
+                walks = random_walks(
+                    self.csr, walks, cfg.walk_length, kw,
+                    restart_prob=cfg.restart_prob,
+                )
             if use_walk_kernel:
                 from come_tpu.ops.pallas_walk_sgns import (
                     NWL,
@@ -625,6 +651,30 @@ class ComETrainer:
         # ~a full round trip)
         return state, jnp.stack([loss, npair])
 
+    # scan steps per device call: this rig's tunneled TPU runtime kills
+    # programs running longer than ~30-40s ("TPU worker crashed or
+    # restarted" — reproduced at synthetic-10m, where one 4883-step
+    # epoch scan runs ~50s, while the same math in shorter calls runs
+    # stably for minutes).  1024 macro steps ~= 8-10s at that scale;
+    # chaining calls costs ~0.2ms dispatch each and the LR/words carry
+    # lives in TrainState, so the split is semantics-free.
+    _MAX_STEPS_PER_CALL = 1024
+
+    def _call_chunked(self, jit_fn, arr, S: int):
+        """Run an epoch jit in bounded-step slices, merging the stats
+        vector pair-weighted (device-side; no extra host syncs)."""
+        cap = self._MAX_STEPS_PER_CALL
+        if S <= cap:
+            self.state, stats = jit_fn(self.state, arr)
+            return stats
+        tot_l = jnp.float32(0.0)
+        tot_p = jnp.float32(0.0)
+        for i in range(0, S, cap):
+            self.state, st = jit_fn(self.state, arr[i : i + cap])
+            tot_l = tot_l + st[0] * st[1]
+            tot_p = tot_p + st[1]
+        return jnp.stack([tot_l / jnp.maximum(tot_p, 1.0), tot_p])
+
     def o1_epoch(self) -> float:
         """One pass of `walks_per_node` walks from every node (SURVEY §3.2)."""
         cfg = self.cfg
@@ -655,7 +705,7 @@ class ComETrainer:
                     self._o1_epoch_gen, donate_argnums=0
                 )
             self._o1_epochs_done += 1
-            self.state, stats = self._o1_gen_jit(self.state, perm)
+            stats = self._call_chunked(self._o1_gen_jit, perm, S)
             return self._finish_o1(stats)
         if cfg.walk_regen_epochs != 1:
             # cached corpus (reference semantics: deepwalk writes walk
@@ -668,12 +718,12 @@ class ComETrainer:
                 self.host_key, kw = jax.random.split(self.host_key)
                 self._walk_cache = self._gen_walks_jit(kw, perm)
             self._o1_epochs_done += 1
-            self.state, stats = self._o1_from_walks_jit(
-                self.state, self._walk_cache
+            stats = self._call_chunked(
+                self._o1_from_walks_jit, self._walk_cache, S
             )
             return self._finish_o1(stats)
         self._o1_epochs_done += 1
-        self.state, stats = self._o1_epoch_jit(self.state, perm)
+        stats = self._call_chunked(self._o1_epoch_jit, perm, S)
         return self._finish_o1(stats)
 
     def _finish_o1(self, stats):

@@ -10,11 +10,21 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+# this environment's axon sitecustomize pins jax_platforms in every
+# interpreter, overriding the env var; honor an explicit JAX_PLATFORMS
+# (the CPU virtual-mesh runs set it with
+# XLA_FLAGS=--xla_force_host_platform_device_count=N)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def _heavy_tail_dataset():
