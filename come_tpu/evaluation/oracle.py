@@ -307,3 +307,75 @@ def gmm_log_likelihood(X, means, covs, weights):
         )
     m = lp.max(axis=1)
     return float(np.mean(m + np.log(np.exp(lp - m[:, None]).sum(axis=1))))
+
+
+def star_kernel_sequential(
+    emb: np.ndarray,
+    slots: np.ndarray,
+    meta: np.ndarray,
+    pools: np.ndarray,
+    negative_weight: float,
+    lr: float,
+    pool_refresh: int = 1,
+    group_slots: int = 1024,
+    block: int = 128,
+) -> tuple[np.ndarray, float, float]:
+    """Numpy oracle of the star O2 kernel's group semantics
+    (``ops/pallas_star_sgns.py``): groups of ``group_slots`` slots run
+    sequentially; each group's gradients are computed from the TIED
+    table state at group start and applied by sequential per-slot RMW;
+    the shared pool is staged once per ``pool_refresh``-group block and
+    its accumulated gradient applies at the block end.  The mask pairs
+    hub<->neighbor slots of each row-local segment (``sampling/stars.py``
+    metadata encoding; pads self-mask).
+
+    Returns (emb', total_loss, total_pairs).
+    """
+    emb = emb.astype(np.float32).copy()
+    slots = np.asarray(slots, np.int64).reshape(-1)
+    meta = np.asarray(meta, np.int64).reshape(-1)
+    G = slots.shape[0] // group_slots
+    pools = np.asarray(pools, np.int64)
+    if pools.ndim == 1:
+        pools = np.broadcast_to(
+            pools, (-(-G // pool_refresh),) + pools.shape
+        )
+    total_loss = 0.0
+    total_pairs = 0.0
+    dneg_acc = None
+    for g in range(G):
+        if g % pool_refresh == 0:
+            pool = pools[g // pool_refresh]
+            cneg0 = emb[pool].copy()
+            dneg_acc = np.zeros_like(cneg0)
+        sl = slots[g * group_slots : (g + 1) * group_slots]
+        mt = meta[g * group_slots : (g + 1) * group_slots]
+        phi = emb[sl].copy()
+        seg = mt >> 1
+        hub = mt & 1
+        blk = np.arange(group_slots) // block
+        m = (
+            (seg[:, None] == seg[None, :])
+            & ((hub[:, None] ^ hub[None, :]) == 1)
+            & (blk[:, None] == blk[None, :])
+        ).astype(np.float32)
+        s = phi @ phi.T
+        sg = 1.0 / (1.0 + np.exp(-s))
+        gpos = (sg - 1.0) * m
+        total_loss += -np.sum(m * np.log(np.maximum(sg, 1e-30)))
+        n_t = m.sum(1, keepdims=True)
+        total_pairs += float(n_t.sum())
+        dphi = gpos @ phi + gpos.T @ phi  # tied: source + context side
+        sn = phi @ cneg0.T
+        sgn = 1.0 / (1.0 + np.exp(-sn))
+        gneg = sgn * (negative_weight * n_t)
+        total_loss += -negative_weight * np.sum(
+            n_t * np.log(np.maximum(1.0 - sgn, 1e-30))
+        )
+        dphi += gneg @ cneg0
+        dneg_acc += gneg.T @ phi
+        for t in range(group_slots):  # sequential RMW, kernel order
+            emb[sl[t]] -= lr * dphi[t]
+        if g % pool_refresh == pool_refresh - 1 or g == G - 1:
+            np.add.at(emb, pool, -lr * dneg_acc)
+    return emb, total_loss, total_pairs

@@ -38,6 +38,10 @@ class ParityReport:
     # paired-kernel step (compact a2a-gathered tables, dn+dc routed back)
     # vs per-worker paired oracles composed by sum-of-deltas
     o2_rowsharded_max_err: float = float("nan")
+    # O2 STAR row (round 5, the shipping edge-pass tier): the fan-out
+    # grouped tied kernel (sampling/stars.py layout +
+    # ops/pallas_star_sgns.py) vs the star group-sequential oracle
+    o2_star_max_err: float = float("nan")
 
     def __str__(self):
         s = "PASS" if self.passed else "FAIL"
@@ -49,7 +53,8 @@ class ParityReport:
             f"o1_fast_multi={self.o1_fast_multi_max_err:.2e} "
             f"o1_fast_rowsharded={self.o1_fast_rowsharded_max_err:.2e} "
             f"o2_fanout={self.o2_fanout_max_err:.2e} "
-            f"o2_rowsharded={self.o2_rowsharded_max_err:.2e}"
+            f"o2_rowsharded={self.o2_rowsharded_max_err:.2e} "
+            f"o2_star={self.o2_star_max_err:.2e}"
         )
 
 
@@ -250,6 +255,39 @@ def check_gradient_parity(
         loss_rel, abs(float(ploss) - o_ploss) / max(abs(o_ploss), 1e-9)
     )
 
+    # O2-star: the STAR fan-out tier (the shipping edge pass) — layout
+    # built from random edges, 2 kernel groups with a fresh pool per
+    # block (pool_refresh=2) — vs the star group-sequential oracle.
+    from come_tpu.ops.pallas_star_sgns import (
+        NWL as SNWL,
+        fused_star_sgns_step,
+    )
+    from come_tpu.sampling.stars import build_star_layout
+
+    eu3 = rng.integers(0, V, 4 * nw).astype(np.int64)
+    ev3 = (eu3 + 1 + rng.integers(0, V - 1, 4 * nw)) % V
+    s3, m3 = build_star_layout(eu3, ev3, V)
+    G3 = max(2, -(-s3.shape[0] // SNWL))
+    s3 = np.pad(s3, (0, G3 * SNWL - s3.shape[0]))
+    m3 = np.pad(
+        m3, (0, G3 * SNWL - m3.shape[0]), constant_values=-2
+    )
+    pool3 = rng.integers(0, V, (-(-G3 // 2), KP)).astype(np.int32)
+    si, sloss, snp = fused_star_sgns_step(
+        jnp.asarray(emb_in), jnp.asarray(s3), jnp.asarray(m3),
+        jnp.asarray(pool3), lr, negw, 0, pool_refresh=2, interpret=True,
+    )
+    o_si, o_sloss, o_snp = oracle.star_kernel_sequential(
+        emb_in, s3, m3, pool3, negw, lr, pool_refresh=2,
+        group_slots=SNWL,
+    )
+    o2s_err = float(np.abs(np.asarray(si) - o_si).max()) / lr
+    o2s_scale = max(float(np.abs((o_si - emb_in) / lr).max()), 1.0)
+    assert float(snp) == o_snp, (float(snp), o_snp)
+    loss_rel = max(
+        loss_rel, abs(float(sloss) - o_sloss) / max(abs(o_sloss), 1e-9)
+    )
+
     # O1-fast-rowsharded: the (2,2)-mesh row-sharded kernel step
     # (parallel/walk_exchange.py) vs per-worker sequential oracles composed
     # by sum-of-deltas.  Needs >= 4 local devices (the test suite's
@@ -276,13 +314,14 @@ def check_gradient_parity(
         and o2f_err < atol + rtol * o2f_scale
         and o1m_err < atol + rtol * o1m_scale
         and o2p_err < atol + rtol * o2p_scale
+        and o2s_err < atol + rtol * o2s_scale
         and not (o1r_err == o1r_err and o1r_err >= atol + rtol * o1r_scale)
         and not (o2r_err == o2r_err and o2r_err >= atol + rtol * o2r_scale)
         and loss_rel < 1e-3
     )
     return ParityReport(
         o1_err, o2_err, o3_err, loss_rel, passed, o1f_err, o2f_err,
-        o1m_err, o1r_err, o2p_err, o2r_err,
+        o1m_err, o1r_err, o2p_err, o2r_err, o2s_err,
     )
 
 

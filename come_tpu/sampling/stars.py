@@ -65,14 +65,16 @@ def build_star_layout(
     pairs/slot closer to 2.
 
     ``max_fanout`` caps a segment's neighbor count (splitting repeats the
-    hub).  This is a STABILITY knob, nearly free in slots: a segment's
-    slot efficiency is 2f/(f+1), already 1.94 at f=32.  The kernel
-    applies a whole segment's gradients from group-start state (no
-    sequential sigmoid feedback within a group), and a hub's negative
-    weight scales with its in-group fan-out — capping f bounds the
-    largest synchronously-applied per-row update, and the per-epoch row
-    shuffle then scatters a big hub's split segments across groups like
-    the arc-permuted paired tier does.
+    hub).  It bounds the largest synchronously-applied per-row update (a
+    hub's positive gradients and fan-out-scaled negative weight apply
+    from group-start state with no sequential sigmoid feedback), and the
+    per-epoch row shuffle then scatters a big hub's split segments
+    across groups like the arc-permuted paired tier does.  Measured A/B
+    on the BlogCatalog config (scripts/probe_star_stability.py): capped
+    and uncapped are quality-equivalent (NMI 0.954 vs 0.959, same
+    embedding scale) — the cap is kept as a nearly-free precaution
+    (slot efficiency 2f/(f+1) is already 1.94 at f=32) for power-law
+    graphs whose hubs dwarf BlogCatalog's.
     """
     u = np.asarray(u, np.int64)
     v = np.asarray(v, np.int64)
