@@ -32,6 +32,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pretrain-epochs", type=int)
     p.add_argument("--batch-walks", type=int)
     p.add_argument("--batch-edges", type=int)
+    p.add_argument("--o2-mode", choices=["auto", "star", "paired", "xla"],
+                   help="O2 tier selection (default auto: star -> "
+                        "banded-star -> paired -> xla)")
+    p.add_argument("--down-sample", type=float,
+                   help="word2vec frequent-node subsampling threshold "
+                        "(reference `sample`; 0 = off, the default)")
     p.add_argument("--seed", type=int)
     p.add_argument("--save", help="write embeddings (word2vec text) here")
     p.add_argument("--checkpoint-dir", help="save a checkpoint per iteration")
