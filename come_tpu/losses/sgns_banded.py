@@ -54,12 +54,18 @@ def banded_block_grads(
 
     Args:
       phi, ctx: [Bc, L, d] center/context rows of a walk block.
-      cneg: [KP, d] shared negative pool rows.
+      cneg: [KP, d] shared negative pool rows — or [C, KP, d]: C FRESH
+        pools, each serving Bc/C of the block's walks.  Sub-chunked
+        pools bound the gradient mass any single pool row absorbs from
+        one synchronous application (the stability knob — see the
+        pool-divergence note in the step docstring) without shrinking
+        the positive pass's block matmuls.
       wrow: int32 [Bc, L] per-center reduced-window draw in {1..W}.
       negative_weight: k / KP, keeps per-pair noise work calibrated.
       mxu_bf16: run the matmuls in bf16 (f32 accumulation).
 
-    Returns (loss, n_pairs, (d_phi [Bc,L,d], d_ctx [Bc,L,d], d_cneg [KP,d])).
+    Returns (loss, n_pairs, (d_phi [Bc,L,d], d_ctx [Bc,L,d],
+    d_cneg shaped like ``cneg``)).
     """
     Bc, L, d = phi.shape
     mt = jnp.bfloat16 if mxu_bf16 else jnp.float32
@@ -84,36 +90,69 @@ def banded_block_grads(
     loss_pos = -jnp.sum(m * jax.nn.log_sigmoid(s))
     n_t = jnp.sum(m, axis=2)  # [Bc, L] pairs per center
 
-    sneg = jax.lax.dot_general(
-        phi_m, cneg_m,
-        dimension_numbers=(((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [Bc, L, KP]
     negw = jnp.asarray(negative_weight, jnp.float32)
-    gneg = jax.nn.sigmoid(sneg) * (negw * n_t[:, :, None])
-    loss_neg = -negw * jnp.sum(n_t[:, :, None] * jax.nn.log_sigmoid(-sneg))
+    if cneg.ndim == 3:
+        # C fresh pools, each serving Bc/C walks (batched over C)
+        C, KP, _ = cneg.shape
+        if Bc % C:
+            raise ValueError(
+                f"walk block {Bc} not divisible by {C} pool chunks"
+            )
+        phi_c = phi_m.reshape(C, (Bc // C) * L, d)
+        sneg = jax.lax.dot_general(
+            phi_c, cneg_m,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [C, (Bc/C)*L, KP]
+        n_t_c = n_t.reshape(C, (Bc // C) * L)
+        gneg = jax.nn.sigmoid(sneg) * (negw * n_t_c[..., None])
+        loss_neg = -negw * jnp.sum(
+            n_t_c[..., None] * jax.nn.log_sigmoid(-sneg)
+        )
+        gneg_m = gneg.astype(mt)
+        d_phi_neg = jax.lax.dot_general(
+            gneg_m, cneg_m,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(Bc, L, d)
+        d_cneg = jax.lax.dot_general(
+            gneg_m, phi_c,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [C, KP, d]
+    else:
+        sneg = jax.lax.dot_general(
+            phi_m, cneg_m,
+            dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Bc, L, KP]
+        gneg = jax.nn.sigmoid(sneg) * (negw * n_t[:, :, None])
+        loss_neg = -negw * jnp.sum(
+            n_t[:, :, None] * jax.nn.log_sigmoid(-sneg)
+        )
+        gneg_m = gneg.astype(mt)
+        d_phi_neg = jax.lax.dot_general(
+            gneg_m, cneg_m,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d_cneg = jax.lax.dot_general(
+            gneg_m.reshape(Bc * L, -1), phi_m.reshape(Bc * L, d),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [KP, d]
 
     g_m = g.astype(mt)
-    gneg_m = gneg.astype(mt)
     d_phi = jax.lax.dot_general(
         g_m, ctx_m,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        gneg_m, cneg_m,
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [Bc, L, d]
+    ) + d_phi_neg  # [Bc, L, d]
     d_ctx = jax.lax.dot_general(
         g_m, phi_m,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # [Bc, L, d] (g^T per walk)
-    d_cneg = jax.lax.dot_general(
-        gneg_m.reshape(Bc * L, -1), phi_m.reshape(Bc * L, d),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [KP, d]
     return loss_pos + loss_neg, jnp.sum(n_t), (d_phi, d_ctx, d_cneg)
 
 
@@ -177,14 +216,18 @@ def banded_walk_sgns_step_packed(
         )
     else:
         wrows = jnp.full((G, Bc, L), window, jnp.int32)
-    # pools: [KP] (one set of ids for every block — legacy) or [G, KP]
-    # (a FRESH pool per block).  Fresh pools matter for stability at
+    # pools: [KP] (one set of ids for every block — legacy), [G, KP]
+    # (a FRESH pool per block), or [G, C, KP] (C fresh pools per block,
+    # each serving Bc/C walks).  Fresh pools matter for stability at
     # scale: each trained pair adds ~k/KP of gradient mass to EVERY pool
     # row, so one pool serving a whole macro step concentrates
     # pairs_per_step*k/KP stale unit-gradients per row — measured
-    # exponentially divergent at synthetic-10m (2093 units/row at
-    # KP=2048; docs/PERF.md round-5 stability note).  Per-block fresh
-    # draws spread the same calibrated mass over G*KP rows.
+    # exponentially divergent at synthetic-10m (~2100 units/row at
+    # KP=2048 diverges by step ~850; ~1050 diverges by ~900; ~520 is
+    # stable through 2500 — docs/PERF.md round-5 stability note).  The
+    # [G, C, KP] form bounds per-application mass WITHOUT shrinking the
+    # positive pass's block matmuls (the 1024-walk block measured ~40%
+    # faster than the 256-walk one its pool mass alone would force).
     pool_g = shared_negs.astype(jnp.int32)
     if pool_g.ndim == 1:
         pool_g = jnp.broadcast_to(pool_g, (G,) + pool_g.shape)
@@ -198,12 +241,12 @@ def banded_walk_sgns_step_packed(
 
     def block(carry, xs):
         cmb = carry
-        w, wr, pool = xs  # [Bc, L], [Bc, L], [KP]
+        w, wr, pool = xs  # [Bc, L], [Bc, L], [KP] or [C, KP]
         flat = w.reshape(Bc * L)
         rows = jnp.take(cmb, flat, axis=0).reshape(Bc, L, 2 * d)
         phi = rows[:, :, :d]
         ctx = rows[:, :, d:]
-        cneg = jnp.take(cmb, pool, axis=0)[:, d:]
+        cneg = jnp.take(cmb, pool, axis=0)[..., d:]
         loss, npairs, (d_phi, d_ctx, d_cneg) = banded_block_grads(
             phi, ctx, cneg, wr, negative_weight, mxu_bf16=mxu_bf16
         )
@@ -211,10 +254,11 @@ def banded_walk_sgns_step_packed(
             Bc * L, 2 * d
         )
         cmb = scatter(cmb, flat, upd * (-lr))
+        dneg2 = d_cneg.reshape(-1, d)
         pool_upd = jnp.concatenate(
-            [jnp.zeros_like(d_cneg), d_cneg], axis=-1
+            [jnp.zeros_like(dneg2), dneg2], axis=-1
         )
-        cmb = scatter(cmb, pool, pool_upd * (-lr))
+        cmb = scatter(cmb, pool.reshape(-1), pool_upd * (-lr))
         return cmb, (loss, npairs)
 
     combo, (losses, npairs) = jax.lax.scan(

@@ -738,16 +738,18 @@ class ShardedComETrainer(ComETrainer):
                 kpool, kwin = jax.random.split(
                     jax.random.fold_in(dkey, 7919)
                 )
-                # per-block FRESH pools under the stability slot bound
-                # (banded_pool_slots; docs/PERF.md round-5 note)
-                bc = min(
-                    cfg.banded_walk_block,
-                    max(1, cfg.banded_pool_slots // cfg.walk_length),
-                )
-                n_blocks = -(-B_local // min(bc, B_local))
+                # full-size blocks with C fresh pool sub-chunks per
+                # block — the banded_pool_slots stability bound without
+                # shrinking the positive pass (docs/PERF.md round-5)
+                bc = min(cfg.banded_walk_block, B_local)
+                wpp = max(1, cfg.banded_pool_slots // cfg.walk_length)
+                C = -(-bc // wpp)
+                while bc % C:
+                    C += 1
+                n_blocks = -(-B_local // bc)
                 sneg = sample_alias(
                     self.accept, self.alias, kpool,
-                    (n_blocks, cfg.shared_negatives),
+                    (n_blocks, C, cfg.shared_negatives),
                 )
                 cmb0 = params.node_emb  # packed, replicated at model=1
                 cmb1, loss, npairs = banded_walk_sgns_step_packed(

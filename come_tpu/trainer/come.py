@@ -594,16 +594,18 @@ class ComETrainer:
                 )
 
                 kpool, kwin = jax.random.split(kn)
-                # block bounded by the pool-stability slot budget, one
-                # FRESH pool per block (see banded_pool_slots)
-                bc = min(
-                    cfg.banded_walk_block,
-                    max(1, cfg.banded_pool_slots // cfg.walk_length),
-                )
-                n_blocks = -(-B // min(bc, B))
+                # full-size blocks (the fast positive-pass shape) with C
+                # fresh pool sub-chunks per block so no pool application
+                # exceeds the banded_pool_slots stability budget
+                bc = min(cfg.banded_walk_block, B)
+                wpp = max(1, cfg.banded_pool_slots // cfg.walk_length)
+                C = -(-bc // wpp)
+                while bc % C:  # smallest divisor of bc >= the budget
+                    C += 1
+                n_blocks = -(-B // bc)
                 sneg = sample_alias(
                     self.accept, self.alias, kpool,
-                    (n_blocks, cfg.shared_negatives),
+                    (n_blocks, C, cfg.shared_negatives),
                 )
                 ne, loss, npairs = banded_walk_sgns_step_packed(
                     params.node_emb, walks, sneg, lr,

@@ -147,3 +147,56 @@ def test_trainer_banded_path_trains():
     assert np.isfinite(first) and losses[-1] < first
     t.fit_gmm()
     assert nmi_score(labels, t.communities()) > 0.5
+
+
+def test_chunked_pools_match_composed_oracle(rng):
+    """[C, KP] pool sub-chunks per block: each chunk's walks train
+    against ONLY their own fresh pool — equivalent to running C smaller
+    single-pool blocks from the same table state, with one combined
+    scatter.  (The stability form: bounded per-application pool mass at
+    full positive-pass block size.)"""
+    import jax.numpy as jnp
+
+    from come_tpu.losses.sgns_banded import (
+        banded_walk_sgns_step_packed,
+        pack_tables,
+        unpack_tables,
+    )
+
+    V, d, KP, Bc, L, W, C = 120, 16, 8, 8, 10, 3, 2
+    ei = rng.normal(size=(V, d)).astype(np.float32) * 0.2
+    eo = rng.normal(size=(V, d)).astype(np.float32) * 0.2
+    walks = rng.integers(0, V, (Bc, L)).astype(np.int32)
+    pools = rng.integers(0, V, (1, C, KP)).astype(np.int32)
+    lr, negw = 0.05, 5.0 / KP
+
+    combo, loss, npairs = banded_walk_sgns_step_packed(
+        pack_tables(jnp.asarray(ei), jnp.asarray(eo)),
+        jnp.asarray(walks), jnp.asarray(pools), lr, negw,
+        jax.random.key(0), window=W, walk_block=Bc,
+        reduced_window=False, mxu_bf16=False,
+    )
+    ni, no = unpack_tables(combo)
+
+    # composed oracle: C sub-blocks from the SAME start state, updates
+    # summed (one scatter application)
+    e_in, e_out = ei.copy(), eo.copy()
+    total_loss, total_np = 0.0, 0.0
+    d_in = np.zeros_like(ei)
+    d_out = np.zeros_like(eo)
+    wrow = np.full((Bc, L), W, np.int32)
+    for c in range(C):
+        sl = slice(c * (Bc // C), (c + 1) * (Bc // C))
+        ol, onp_, odin, odout = _oracle_block(
+            ei, eo, walks[sl], pools[0, c], wrow[sl], negw
+        )
+        total_loss += ol
+        total_np += onp_
+        d_in += odin
+        d_out += odout
+    e_in -= lr * d_in
+    e_out -= lr * d_out
+    assert float(npairs) == total_np
+    np.testing.assert_allclose(float(loss), total_loss, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ni), e_in, rtol=1e-3, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(no), e_out, rtol=1e-3, atol=3e-5)
