@@ -108,7 +108,7 @@ def _rate(trainer, epoch, sync, n1, n2, pairs_attr, reps=3):
     return [pairs / s for s in secs]
 
 
-def _large_v_section(_unused) -> dict:
+def _large_v_section() -> dict:
     """Full outer iteration at V=500k / K=64 / d=128 on one chip.
 
     Light slope per phase (n1=1, n2=2, two samples — epochs here are
@@ -262,7 +262,7 @@ def main() -> None:
     # are VMEM-gated at this V), GMM/O3 the batched XLA EM/closure.
     large_v = None
     try:
-        large_v = _large_v_section(phase_set)
+        large_v = _large_v_section()
     except Exception as e:  # noqa: BLE001 — headline must still print
         large_v = {"error": f"{type(e).__name__}: {e}"}
 

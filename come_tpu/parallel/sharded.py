@@ -900,6 +900,8 @@ class ShardedComETrainer(ComETrainer):
         The collision envelope widens by the worker count, as in
         :meth:`_use_walk_kernel`."""
         cfg = self.cfg
+        if cfg.o2_mode not in ("auto", "paired"):
+            return False  # forced modes ('star'/'xla') must be honored
         if cfg.pallas == "never" or cfg.negative_mode != "shared":
             return False
         if cfg.pallas != "always" and jax.default_backend() != "tpu":
@@ -948,27 +950,6 @@ class ShardedComETrainer(ComETrainer):
         workers = self.layout.data_size
         collisions = 2.0 * NWL * workers / max(self.graph.num_nodes, 1)
         return collisions <= 16.0
-
-    def _o2_star_rows(self):
-        """Star slot/meta layout rows, built once (the edge list is
-        static); epochs shuffle at row granularity — exactly the
-        granularity that matters under group-synchronous updates."""
-        if not hasattr(self, "_star_rows_slots"):
-            from come_tpu.sampling.stars import (
-                build_star_layout,
-                star_layout_stats,
-            )
-
-            u, v = self.graph.edges_undirected()
-            slots, meta = build_star_layout(u, v, self.graph.num_nodes)
-            self._star_pairs = star_layout_stats(slots, meta)["pairs"]
-            self._star_rows_slots = jnp.asarray(
-                slots.reshape(-1, 128), jnp.int32
-            )
-            self._star_rows_meta = jnp.asarray(
-                meta.reshape(-1, 128), jnp.int32
-            )
-        return self._star_rows_slots, self._star_rows_meta
 
     def _o2_epoch_star(
         self, state: TrainState, slots_all, meta_all, pairs_per_step
@@ -1405,7 +1386,9 @@ class ShardedComETrainer(ComETrainer):
 
         cfg = self.cfg
         lay = self.layout
-        v = self.v_real
+        v = len(self.walk_starts)  # no walks from isolated nodes —
+        # epoch sizing must match the feeders' node set and the
+        # walk_starts-based LR word budget (round-5 review finding)
         D = lay.data_size
         g = D * lay.model_size
         B = min(cfg.batch_walks, v * cfg.walks_per_node)
@@ -1573,7 +1556,7 @@ class ShardedComETrainer(ComETrainer):
         lay = self.layout
         D = lay.data_size
         if self._use_star_o2():
-            rs, rm = self._o2_star_rows()
+            rs, rm = self._star_layout()  # inherited cache (come.py)
             NR = rs.shape[0]
             unit = D * 8  # whole kernel groups per data shard per step
             rps = max(unit, min(-(-cfg.batch_edges // 128), NR))

@@ -99,11 +99,14 @@ def build_star_layout(
     ends = np.r_[starts[1:], E]
     hubs = src_s[starts].astype(np.int32)
 
-    # worst case: every segment splits at most (fanout // (row_slots-1)) + 1
-    # times, each split costs one extra hub slot, plus <= row_slots-2 pad
-    # slots per forced row break
+    # worst case: a segment is cut every min(max_fanout, row_slots-1)
+    # neighbors (each cut repeats the hub), plus <= row_slots-2 pad slots
+    # per forced row break.  The divisor must honor max_fanout — with the
+    # old row_slots-only budget, a single hub of degree ~11k overflowed
+    # the buffer at the default cap (round-5 review finding, reproduced).
     n_seg0 = starts.shape[0]
-    cap = E + n_seg0 + E // (row_slots - 1) + n_seg0 * 2 + 2 * row_slots
+    cut = max(1, min(max_fanout, row_slots - 1))
+    cap = E + n_seg0 + E // cut + n_seg0 * 2 + 2 * row_slots
     slots = np.zeros((cap,), np.int32)
     meta = np.full((cap,), PAD_META, np.int32)
 

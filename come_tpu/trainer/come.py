@@ -904,7 +904,7 @@ class ComETrainer:
             )
         return self._star_rows_slots, self._star_rows_meta
 
-    def _o2_epoch_star(
+    def _o2_epoch_starlike(
         self,
         state: TrainState,
         rows_slots: jnp.ndarray,  # [NR, 128] star layout rows
@@ -912,9 +912,14 @@ class ComETrainer:
         pairs_per_step: float,
         steps: int,
         rows_per_step: int,
+        banded: bool,
     ):
-        """Star-tier O2 epoch: permute layout rows on device, scan macro
-        steps through the fused tied kernel."""
+        """Star-layout O2 epoch: permute layout rows on device, scan
+        macro steps through the fused tied kernel (``banded=False``) or
+        the HBM-table XLA star step (``banded=True``).  Shared scaffold —
+        pads with self-masking rows (meta -2): exact zero work, unlike
+        the paired tier's wrap-resize which retrains a few edges."""
+        from come_tpu.losses.star_banded import star_banded_sgns_step
         from come_tpu.ops.pallas_star_sgns import NWL, fused_star_sgns_step
 
         cfg = self.cfg
@@ -922,35 +927,47 @@ class ComETrainer:
         NR = rows_slots.shape[0]
         perm = jax.random.permutation(kperm, NR)
         pad_rows = steps * rows_per_step - NR
-        # pad with self-masking rows (meta -2) — exact zero work, unlike
-        # the paired tier's wrap-resize which retrains a few edges
         ps = jnp.pad(rows_slots[perm], ((0, pad_rows), (0, 0)))
         pm = jnp.pad(
             rows_meta[perm], ((0, pad_rows), (0, 0)), constant_values=-2
         )
-        slots_all = ps.reshape(steps, rows_per_step * 128)
-        meta_all = pm.reshape(steps, rows_per_step * 128)
+        slots_all = ps.reshape(steps, rows_per_step, 128)
+        meta_all = pm.reshape(steps, rows_per_step, 128)
+        negw = cfg.negative / cfg.shared_negatives
 
         def body(carry, sm):
             params, key, words = carry
             slots_s, meta_s = sm
             key, kn, kp = jax.random.split(key, 3)
             lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
-            interp = (cfg.pallas == "always"
-                      and jax.default_backend() != "tpu")
-            n_groups = -(-(rows_per_step * 128) // NWL)
-            n_pools = -(-n_groups // cfg.walk_pool_refresh)
-            sneg = sample_alias(
-                self.accept, self.alias, kn,
-                (n_pools, cfg.shared_negatives),
-            )
-            seed = jax.random.randint(kp, (), 0, 2**31 - 1, dtype=jnp.int32)
-            ne, loss, npairs = fused_star_sgns_step(
-                params.node_emb, slots_s, meta_s, sneg, lr * cfg.alpha,
-                cfg.negative / cfg.shared_negatives, seed,
-                mxu_bf16=cfg.walk_kernel_bf16,
-                pool_refresh=cfg.walk_pool_refresh, interpret=interp,
-            )
+            if banded:
+                sneg = sample_alias(
+                    self.accept, self.alias, kn, (cfg.shared_negatives,)
+                )
+                ne, loss, npairs = star_banded_sgns_step(
+                    params.node_emb, slots_s, meta_s, sneg,
+                    lr * cfg.alpha, negw,
+                    mxu_bf16=cfg.walk_kernel_bf16,
+                    sorted_scatter=cfg.banded_sorted_scatter,
+                )
+            else:
+                interp = (cfg.pallas == "always"
+                          and jax.default_backend() != "tpu")
+                n_groups = -(-(rows_per_step * 128) // NWL)
+                n_pools = -(-n_groups // cfg.walk_pool_refresh)
+                sneg = sample_alias(
+                    self.accept, self.alias, kn,
+                    (n_pools, cfg.shared_negatives),
+                )
+                seed = jax.random.randint(
+                    kp, (), 0, 2**31 - 1, dtype=jnp.int32
+                )
+                ne, loss, npairs = fused_star_sgns_step(
+                    params.node_emb, slots_s.reshape(-1),
+                    meta_s.reshape(-1), sneg, lr * cfg.alpha, negw, seed,
+                    mxu_bf16=cfg.walk_kernel_bf16,
+                    pool_refresh=cfg.walk_pool_refresh, interpret=interp,
+                )
             params = params.replace(node_emb=ne)
             words = words + jnp.float32(pairs_per_step)
             return (params, key, words), (loss, npairs)
@@ -981,58 +998,6 @@ class ComETrainer:
         # block = 512 layout rows x 128 slots)
         collisions = 2.0 * 512 * 128 / max(self.graph.num_nodes, 1)
         return cfg.banded == "always" or collisions <= 16.0
-
-    def _o2_epoch_star_banded(
-        self,
-        state: TrainState,
-        rows_slots: jnp.ndarray,
-        rows_meta: jnp.ndarray,
-        pairs_per_step: float,
-        steps: int,
-        rows_per_step: int,
-    ):
-        """Banded-star O2 epoch: same row-shuffled macro-step scan as the
-        fused star tier, with the HBM-table XLA step inside."""
-        from come_tpu.losses.star_banded import star_banded_sgns_step
-
-        cfg = self.cfg
-        key, kperm = jax.random.split(state.key)
-        NR = rows_slots.shape[0]
-        perm = jax.random.permutation(kperm, NR)
-        pad_rows = steps * rows_per_step - NR
-        ps = jnp.pad(rows_slots[perm], ((0, pad_rows), (0, 0)))
-        pm = jnp.pad(
-            rows_meta[perm], ((0, pad_rows), (0, 0)), constant_values=-2
-        )
-        slots_all = ps.reshape(steps, rows_per_step, 128)
-        meta_all = pm.reshape(steps, rows_per_step, 128)
-
-        def body(carry, sm):
-            params, key, words = carry
-            slots_s, meta_s = sm
-            key, kn = jax.random.split(key)
-            lr = _decayed_lr(words, self.total_words, cfg.lr, cfg.min_lr)
-            sneg = sample_alias(
-                self.accept, self.alias, kn, (cfg.shared_negatives,)
-            )
-            ne, loss, npairs = star_banded_sgns_step(
-                params.node_emb, slots_s, meta_s, sneg, lr * cfg.alpha,
-                cfg.negative / cfg.shared_negatives,
-                mxu_bf16=cfg.walk_kernel_bf16,
-                sorted_scatter=cfg.banded_sorted_scatter,
-            )
-            params = params.replace(node_emb=ne)
-            words = words + jnp.float32(pairs_per_step)
-            return (params, key, words), (loss, npairs)
-
-        (params, key, words), (losses, npairs) = jax.lax.scan(
-            body, (state.params, key, state.words_seen),
-            (slots_all, meta_all),
-        )
-        state = TrainState(params=params, key=key, words_seen=words)
-        npair = jnp.sum(npairs)
-        loss = jnp.sum(losses) / jnp.maximum(npair, 1.0)
-        return state, jnp.stack([loss, npair])
 
     def _o2_epoch_kernel(self, state: TrainState, rows_all: jnp.ndarray):
         """Kernel O2 epoch: rows_all int32 [S, B_r, 128], each row 64
@@ -1127,37 +1092,25 @@ class ComETrainer:
         SURVEY.md C7/§3.3).  The fast path packs undirected edges into the
         walk-banded kernel's paired mode (both arc directions per edge)."""
         cfg = self.cfg
-        if self._use_star_o2():
+        star = self._use_star_o2()
+        if star or self._use_banded_star_o2():
             rs, rm = self._star_layout()
-            if not hasattr(self, "_o2_star_jit"):
-                self._o2_star_jit = jax.jit(
-                    self._o2_epoch_star, donate_argnums=0,
-                    static_argnums=(3, 4, 5),
+            if not hasattr(self, "_o2_starlike_jit"):
+                self._o2_starlike_jit = jax.jit(
+                    self._o2_epoch_starlike, donate_argnums=0,
+                    static_argnums=(3, 4, 5, 6),
                 )
             NR = rs.shape[0]
             # slots per macro step ~ batch_edges (the paired tier's slot
-            # count at the same config), rounded to whole kernel groups
+            # count at the same config); the fused kernel additionally
+            # wants whole 8-row groups per step
             rps = max(8, min(-(-cfg.batch_edges // 128), NR))
-            rps = -(-rps // 8) * 8
+            if star:
+                rps = -(-rps // 8) * 8
             steps = -(-NR // rps)
-            self.state, stats = self._o2_star_jit(
+            self.state, stats = self._o2_starlike_jit(
                 self.state, rs, rm,
-                float(self._star_pairs) / steps, steps, rps,
-            )
-            return self._finish_o2(stats)
-        if self._use_banded_star_o2():
-            rs, rm = self._star_layout()
-            if not hasattr(self, "_o2_star_banded_jit"):
-                self._o2_star_banded_jit = jax.jit(
-                    self._o2_epoch_star_banded, donate_argnums=0,
-                    static_argnums=(3, 4, 5),
-                )
-            NR = rs.shape[0]
-            rps = max(8, min(-(-cfg.batch_edges // 128), NR))
-            steps = -(-NR // rps)
-            self.state, stats = self._o2_star_banded_jit(
-                self.state, rs, rm,
-                float(self._star_pairs) / steps, steps, rps,
+                float(self._star_pairs) / steps, steps, rps, not star,
             )
             return self._finish_o2(stats)
         if self._use_walk_kernel_o2():

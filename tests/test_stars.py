@@ -307,3 +307,24 @@ def test_star_kernel_rejects_non_f32():
             jnp.zeros((4,), jnp.int32),
             0.01, 1.0, seed=0, interpret=True,
         )
+
+
+def test_layout_fat_hub_capacity():
+    """A single hub whose degree dwarfs the row size: the preallocation
+    must budget for max_fanout-induced hub repeats (round-5 review
+    finding — degree ~11k overflowed the old row_slots-only budget)."""
+    deg = 11000
+    u = np.zeros(deg, np.int64)
+    v = np.arange(1, deg + 1, dtype=np.int64)
+    slots, meta = build_star_layout(u, v, deg + 1)
+    st = star_layout_stats(slots, meta)
+    assert st["arcs"] == deg and st["pairs"] == 2 * deg
+    # every segment still fits a row and carries exactly one hub
+    for r in range(slots.shape[0] // 128):
+        row = meta[r * 128 : (r + 1) * 128]
+        segs = {}
+        for t, m in enumerate(row):
+            if m != PAD_META:
+                segs.setdefault(int(m) >> 1, []).append(int(m) & 1)
+        for hubs in segs.values():
+            assert sum(hubs) == 1

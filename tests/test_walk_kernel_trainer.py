@@ -390,6 +390,13 @@ def test_o2_kernel_mesh_gates():
         g, _cfg(negative_mode="per_pair", negative=3), mesh
     )
     assert t2.o2_tier() == "xla-per-pair"
+    # forced modes are honored on the MESH trainer too (round-5 review
+    # finding: the sharded paired gate ignored o2_mode)
+    t3 = ShardedComETrainer(g, _cfg(o2_mode="xla"), mesh)
+    assert t3.o2_tier() in ("xla-psum", "xla-a2a"), t3.o2_tier()
+    mesh_dp = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    t4 = ShardedComETrainer(g, _cfg(o2_mode="xla"), mesh_dp)
+    assert not t4._use_star_o2() and not t4._use_walk_kernel_o2()
     # collision envelope widens with workers: V=512 passes at 4 workers
     # (2*1024*4/512 = 16) but an 8-worker mesh must reject (32 > 16)
     mesh8 = make_mesh(data=4, model=2, devices=jax.devices()[:8])
